@@ -1,0 +1,311 @@
+"""The wave-loop crawl driver (SURVEY.md §7.2) — flagship pipeline.
+
+Replaces the reference's sequential cursor chain (M/MendeleyPager.java:87-147,
+one URL in flight) with a distributed frontier. Split of responsibilities:
+
+**Data plane — distributed Ray Data** (unbounded, streams through the object
+store): the frontier table itself (sort/limit shuffle per wave, dedup groupby
+on url_hash), the fetch+decode stage (actor-pool ``map_batches`` over
+zero-copy Arrow), link extraction, and the per-wave Parquet output.
+
+**Control plane — driver-side vectorized numpy/Arrow** (bounded O(K) rows BY
+CONSTRUCTION, K = ``wave_size``): robots filter, seen-set membership (batched
+calls to the sharded actors), politeness grant ranking and fetch-seq
+assignment. A real frontier scheduler dequeues a bounded wave; K is chosen to
+fit the scheduler's memory (e.g. 1M rows ≈ 100 MB), never proportional to the
+10^10-row frontier. Everything O(frontier) stays in Dataset land.
+
+Determinism contract (verified against simulator.py): every scheduling
+decision is a function of (priority, seed_rank, host, url_hash) — never of
+block arrival order — so the same seed list + politeness budget reproduces
+the reference's crawl ordering and URL-seen membership at any parallelism.
+
+Wave steps (exactly mirrors simulator.simulate):
+  1. wave  = frontier.sort(priority DESC, seed_rank ASC).limit(K)   [shuffle]
+  2. rest  = frontier anti-joined on the K broadcast wave hashes    [lazy map]
+  3. robots filter → seen filter → per-host rank-vs-budget grant;
+     granted hashes inserted into seen shards (before links flow)
+  4. granted → map_batches(FetchDecode, concurrency=N) → out/wave=<n>/
+  5. links extracted/canonicalized/hashed, deduped, seen-filtered
+  6. frontier' = dedup(rest ∪ denied ∪ links) by url_hash keep-best [shuffle]
+  7. checkpoint frontier + seen shards + politeness counters, commit manifest
+
+Skew note: hot hosts are bounded by host_budget per wave regardless of
+frontier skew; the dedup/sort shuffles key on url_hash / priority which are
+uniform — host skew never becomes partition skew.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..functions.hashing import hash64_array
+from ..functions.urls import canonicalize_array, host_of_array
+from ..sources import tableio
+from ..stages.fetch import FetchDecode
+from ..stages.links import FRONTIER_SCHEMA, ExtractLinks
+from ..state.politeness import Politeness, robots_allowed_mask
+from ..state.seen import SeenSet
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
+
+
+def prepare_frontier(seeds: rd.Dataset) -> rd.Dataset:
+    """Raw seed rows (url, priority, depth, seed_rank) → canonical frontier."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = canonicalize_array(batch["url"])
+        return pa.table(
+            {
+                "url": urls,
+                "url_hash": pa.array(hash64_array(urls), pa.uint64()),
+                "host": host_of_array(urls),
+                "priority": batch["priority"],
+                "depth": batch["depth"],
+                "seed_rank": batch["seed_rank"],
+            }
+        )
+
+    return dedup_frontier(seeds.map_batches(canon, batch_format="pyarrow"))
+
+
+def _best_row(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values(["priority", "seed_rank"], ascending=[False, True]).head(1)
+
+
+def dedup_frontier(ds: rd.Dataset) -> rd.Dataset:
+    """Exact dedup by url_hash keeping the row that sorts first by
+    (priority DESC, seed_rank ASC) — A1 as a groupby shuffle."""
+    return ds.groupby("url_hash").map_groups(_best_row, batch_format="pandas")
+
+
+def _filter_not_in(ds: rd.Dataset, hashes_ref) -> rd.Dataset:
+    """Drop rows whose url_hash is in the broadcast sorted uint64 array.
+    Ships only the K wave hashes (ray.put once), never the frontier."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sorted_hashes = ray.get(hashes_ref)
+        if not len(sorted_hashes) or not len(batch):
+            return batch
+        h = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.clip(np.searchsorted(sorted_hashes, h), 0, len(sorted_hashes) - 1)
+        return batch.filter(pa.array(sorted_hashes[pos] != h))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _collect(ds: rd.Dataset, schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (bounded, control-plane) dataset to one Arrow table."""
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return (schema or FRONTIER_SCHEMA).empty_table()
+    return pa.concat_tables(tbls, promote_options="default").combine_chunks()
+
+
+def _grant_wave(
+    wave: pa.Table, seen: SeenSet, politeness: Politeness, host_budget: int, wave_no: int
+) -> tuple[pa.Table, pa.Table, dict]:
+    """Control-plane scheduling of one O(K) wave: robots → seen → politeness.
+
+    Returns (granted ⊕ fetch_seq/wave cols, denied frontier rows, counters).
+    Deterministic: pure rank math over (priority, seed_rank, host).
+    """
+    n_wave = wave.num_rows
+    allowed = wave.filter(robots_allowed_mask(wave["url"]))
+    hashes = allowed["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    admitted = allowed.filter(pa.array(~seen.contains(hashes))) if len(hashes) else allowed
+
+    df = admitted.select(FRONTIER_COLS).to_pandas()
+    df = df.sort_values(["priority", "seed_rank"], ascending=[False, True], kind="mergesort")
+    rank = df.groupby("host", sort=False).cumcount().to_numpy()
+    granted_mask = rank < host_budget
+
+    gdf = df[granted_mask].copy()
+    counts = gdf["host"].value_counts(sort=False)
+    bases = politeness.reserve_many(counts.index.tolist(), counts.astype(int).tolist())
+    gdf["fetch_seq"] = rank[granted_mask] + gdf["host"].map(bases).to_numpy()
+    gdf["wave"] = np.int32(wave_no)
+    if len(gdf):
+        seen.insert(gdf["url_hash"].to_numpy().astype(np.uint64))
+
+    granted = pa.Table.from_pandas(gdf, preserve_index=False).cast(
+        pa.schema(
+            list(FRONTIER_SCHEMA) + [("fetch_seq", pa.int64()), ("wave", pa.int32())]
+        )
+    )
+    denied = pa.Table.from_pandas(df[~granted_mask], preserve_index=False).cast(
+        FRONTIER_SCHEMA
+    )
+    counters = dict(
+        wavefront=n_wave,
+        robots_dropped=n_wave - allowed.num_rows,
+        admitted=admitted.num_rows,
+        granted=granted.num_rows,
+        denied=denied.num_rows,
+    )
+    return granted, denied, counters
+
+
+def run_crawl(
+    corpus_path: str,
+    seeds: rd.Dataset | pa.Table,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+) -> dict:
+    """Run the crawl to frontier exhaustion (or wave budget). Returns summary
+    metrics; fetched rows land under ``out_dir/wave=<n>/``."""
+    cfg = cfg or CrawlConfig()
+    if isinstance(seeds, pa.Table):
+        seeds = rd.from_arrow(seeds)
+    os.makedirs(out_dir, exist_ok=True)
+
+    seen = SeenSet.create(cfg.n_seen_shards)
+    politeness = Politeness.create(cfg.n_politeness_shards)
+
+    start_wave = 0
+    frontier = None
+    metrics: list[dict] = []
+    if cfg.resume:
+        last = tableio.latest_checkpoint(out_dir)
+        if last is not None:
+            manifest, fdir, seen_parts, pol_states = tableio.read_checkpoint(out_dir, last)
+            frontier = (
+                rd.read_parquet(fdir).materialize()
+                if fdir
+                else rd.from_arrow(FRONTIER_SCHEMA.empty_table())
+            )
+            seen.restore(seen_parts)
+            politeness.restore(pol_states)
+            start_wave = last + 1
+            metrics = list(manifest["metrics"])
+    if frontier is None:
+        frontier = prepare_frontier(seeds).materialize()
+
+    wave_no = start_wave
+    while wave_no < cfg.max_waves:
+        t0 = time.time()
+        # ---- 1. wave top-k (frontier-wide shuffle) -------------------------
+        wave_tbl = _collect(
+            frontier.sort(["priority", "seed_rank"], descending=[True, False]).limit(
+                cfg.wave_size
+            )
+        )
+        if wave_tbl.num_rows == 0:
+            break
+        wave_hashes = np.sort(
+            wave_tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        rest = _filter_not_in(frontier, ray.put(wave_hashes))
+
+        # ---- 2-3. control plane: robots / seen / politeness ----------------
+        granted, denied, counters = _grant_wave(
+            wave_tbl, seen, politeness, cfg.host_budget, wave_no
+        )
+
+        # ---- 4. data plane: fetch + decode (actor pool), spool wave --------
+        links_tbl = FRONTIER_SCHEMA.empty_table()
+        ok_n = 0
+        if granted.num_rows:
+            fetched = (
+                rd.from_arrow(granted)
+                .map_batches(
+                    FetchDecode,
+                    fn_constructor_kwargs=dict(corpus_path=corpus_path),
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                    concurrency=cfg.fetch_concurrency,
+                    num_cpus=1,
+                )
+                .materialize()
+            )
+            wdir = tableio.wave_data_dir(out_dir, wave_no)
+            if os.path.isdir(wdir):  # uncommitted partial from a crashed run
+                shutil.rmtree(wdir)
+            fetched.write_parquet(wdir)
+
+            # ---- 5. discovery: links → canonical frontier candidates -------
+            links_tbl = _collect(
+                fetched.map_batches(ExtractLinks(cfg.max_depth), batch_format="pyarrow")
+            )
+            ok_n = int(
+                pc.sum(
+                    pc.equal(
+                        _collect(
+                            fetched.select_columns(["status"]),
+                            pa.schema([("status", pa.int32())]),
+                        )["status"],
+                        200,
+                    )
+                ).as_py()
+                or 0
+            )
+            if links_tbl.num_rows:
+                # dedup within discovery + drop already-seen (K-bounded table)
+                ldf = links_tbl.to_pandas()
+                ldf = ldf.sort_values(
+                    ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
+                ).drop_duplicates("url_hash")
+                lh = ldf["url_hash"].to_numpy().astype(np.uint64)
+                ldf = ldf[~seen.contains(lh)]
+                links_tbl = pa.Table.from_pandas(ldf, preserve_index=False).cast(
+                    FRONTIER_SCHEMA
+                )
+
+        # ---- 6. frontier update (distributed dedup shuffle) ----------------
+        new_frontier = rest
+        extra = pa.concat_tables(
+            [denied, links_tbl] if links_tbl.num_rows else [denied]
+        )
+        if extra.num_rows:
+            new_frontier = rest.union(rd.from_arrow(extra))
+        frontier = dedup_frontier(new_frontier).materialize()
+
+        m = dict(
+            wave=wave_no,
+            **counters,
+            fetched_ok=ok_n,
+            discovered=links_tbl.num_rows,
+            frontier_after=frontier.count(),
+            seen_size=seen.size(),
+            duration_s=round(time.time() - t0, 3),
+        )
+        metrics.append(m)
+
+        # ---- 7. checkpoint + commit ---------------------------------------
+        if cfg.checkpoint:
+            fdir = tableio.frontier_dir(out_dir, wave_no)
+            if os.path.isdir(fdir):
+                shutil.rmtree(fdir)
+            if m["frontier_after"] > 0:
+                frontier.write_parquet(fdir)
+            tableio.commit_wave(
+                out_dir, wave_no, seen.snapshot(), politeness.snapshot(), metrics
+            )
+        wave_no += 1
+        if m["frontier_after"] == 0:
+            break
+
+    return {
+        "out_dir": out_dir,
+        "n_waves": wave_no - start_wave,
+        "metrics": metrics,
+        "seen_size": seen.size(),
+    }
+
+
+def read_fetched(out_dir: str) -> rd.Dataset:
+    """All fetched rows across waves (the crawl's product)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "wave=*", "*.parquet")))
+    return rd.read_parquet(files)

@@ -1,0 +1,102 @@
+"""TableIO — the checkpoint/commit storage seam (SURVEY.md §7.5, K4).
+
+Production target is Lance (versioned tables, manifest pointer flip); the
+sandbox has no lance wheel, so the same protocol is implemented over Parquet
+directories:
+
+  - every wave writes its state under ``state/wave=<n>/`` (frontier parquet,
+    seen-set shard parquets, politeness counters json),
+  - a ``MANIFEST.json`` is written to a temp name and atomically renamed LAST
+    — the commit point (analog of the reference's staging-index + alias swap,
+    E:137-183; rollback = absence of the manifest, so a crashed wave's partial
+    state is invisible, like M/ElasticSearchIndexHandler.java:240-242),
+  - resume = read the highest committed manifest and reload its state.
+
+Output data lays out as ``out/wave=<n>/*.parquet`` — one directory per wave so
+a resumed run skips finished waves (resumable-output requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST = "MANIFEST.json"
+
+
+def wave_state_dir(out_dir: str, wave: int) -> str:
+    return os.path.join(out_dir, "state", f"wave={wave}")
+
+
+def wave_data_dir(out_dir: str, wave: int) -> str:
+    return os.path.join(out_dir, f"wave={wave}")
+
+
+def frontier_dir(out_dir: str, wave: int) -> str:
+    return os.path.join(wave_state_dir(out_dir, wave), "frontier")
+
+
+def commit_wave(
+    out_dir: str,
+    wave: int,
+    seen_parts: list[np.ndarray],
+    politeness_states: list[dict],
+    metrics: list[dict],
+) -> None:
+    """Commit a wave: the frontier parquet must already sit under
+    ``frontier_dir(out_dir, wave)`` (written by the Dataset itself — the
+    frontier is the one unbounded table and never funnels through the driver).
+    The manifest rename below is the atomic commit point."""
+    d = wave_state_dir(out_dir, wave)
+    os.makedirs(d, exist_ok=True)
+    for i, part in enumerate(seen_parts):
+        pq.write_table(
+            pa.table({"url_hash": pa.array(np.sort(part), pa.uint64())}),
+            os.path.join(d, f"seen_shard={i}.parquet"),
+        )
+    with open(os.path.join(d, "politeness.json"), "w") as f:
+        json.dump(politeness_states, f)
+    manifest = {
+        "wave": wave,
+        "n_seen_shards": len(seen_parts),
+        "n_politeness_shards": len(politeness_states),
+        "metrics": metrics,
+    }
+    tmp = os.path.join(d, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(d, MANIFEST))  # atomic commit point
+
+
+def latest_checkpoint(out_dir: str) -> int | None:
+    state = os.path.join(out_dir, "state")
+    if not os.path.isdir(state):
+        return None
+    waves = []
+    for name in os.listdir(state):
+        if name.startswith("wave=") and os.path.exists(os.path.join(state, name, MANIFEST)):
+            waves.append(int(name.split("=", 1)[1]))
+    return max(waves) if waves else None
+
+
+def read_checkpoint(out_dir: str, wave: int):
+    d = wave_state_dir(out_dir, wave)
+    with open(os.path.join(d, MANIFEST)) as f:
+        manifest = json.load(f)
+    fdir = frontier_dir(out_dir, wave)
+    has_frontier = os.path.isdir(fdir) and any(
+        f.endswith(".parquet") for f in os.listdir(fdir)
+    )
+    seen_parts = [
+        pq.read_table(os.path.join(d, f"seen_shard={i}.parquet"))["url_hash"]
+        .to_numpy()
+        .astype(np.uint64)
+        for i in range(manifest["n_seen_shards"])
+    ]
+    with open(os.path.join(d, "politeness.json")) as f:
+        politeness_states = json.load(f)
+    return manifest, (fdir if has_frontier else None), seen_parts, politeness_states
