@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``ann_topk``: brute-force cosine top-k — the broadcast pattern: the query
+  matrix is ray.put ONCE, every batch does one numpy matmul against it and
+  emits its batch-local top-k; a tiny groupby(query_id) merge yields the
+  global top-k. No full-dataset shuffle; scales linearly with corpus size.
+- ``ivf_topk``: the scale path — vectors bucketed to their nearest coarse
+  centroid in one map_batches pass (IVF assignment); the search probes only
+  the query's ``n_probe`` nearest buckets. Approximate by design (no SQL
+  oracle; rows-only check).
+- ``embedding_neardup_pairs``: blocked near-duplicate detection — pairs
+  within the same ``label`` block above a cosine threshold, one gram matrix
+  per block inside groupby(label).map_groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _matrix(embeddings: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(embeddings, pa.ChunkedArray):
+        embeddings = embeddings.combine_chunks()
+    flat = embeddings.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(embeddings)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ann_topk(
+    embeddings_path: str, n_queries: int = 5, k: int = 10
+) -> rd.Dataset:
+    """(query_id, vec_id) of the k nearest rows by cosine per query vector
+    (queries = rows with vec_id < n_queries). Ties broken by vec_id."""
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    qtbl = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    qm = _normalize(np.stack(qtbl["embedding"].to_numpy()).astype(np.float64))
+    qids = qtbl["vec_id"].to_numpy()
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        vm = _normalize(_matrix(batch["embedding"]))
+        sims = qm @ vm.T  # (n_q, n_batch)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(len(qids)):
+            order = np.lexsort((vids, -sims[qi]))[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_v.extend(vids[order].tolist())
+            out_s.extend(sims[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "vec_id"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def ivf_topk(
+    embeddings_path: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> rd.Dataset:
+    """IVF-bucketed approximate top-k: coarse centroids = the first
+    ``n_centroids`` vectors (deterministic, no training loop); assignment is
+    one vectorized argmax per batch; search scans only ``n_probe`` buckets."""
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    head = ds.filter(expr=f"vec_id < {max(n_centroids, n_queries)}").to_pandas()
+    head = head.sort_values("vec_id")
+    cm = _normalize(np.stack(head["embedding"].to_numpy()[:n_centroids]).astype(np.float64))
+    qdf = head[head["vec_id"] < n_queries]
+    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qids = qdf["vec_id"].to_numpy()
+    refs = ray.put((cm, qids, qm))
+
+    def assign_and_score(batch: pa.Table) -> pa.Table:
+        cm, qids, qm = ray.get(refs)
+        vm = _normalize(_matrix(batch["embedding"]))
+        bucket = np.argmax(vm @ cm.T, axis=1)
+        probe = np.argsort(-(qm @ cm.T), axis=1)[:, :n_probe]  # buckets per query
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = qm @ vm.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(bucket, probe[qi])
+            if not mask.any():
+                continue
+            bs = sims[qi][mask]
+            bv = vids[mask]
+            order = np.lexsort((bv, -bs))[: min(k, len(bv))]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend(bv[order].tolist())
+            out_s.extend(bs[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "vec_id"]]
+
+    return (
+        ds.map_batches(assign_and_score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings_path: str, threshold: float = 0.35
+) -> rd.Dataset:
+    """(vec_a, vec_b) same-label pairs with cosine ≥ threshold (blocked
+    near-dup; the label is the blocking key, one gram matrix per block)."""
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding", "label"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        vids = g["vec_id"].to_numpy()
+        order = np.argsort(vids)
+        m, vids = m[order], vids[order]
+        gram = m @ m.T
+        a, b = np.where(np.triu(gram >= threshold, k=1))
+        return pd.DataFrame({"vec_a": vids[a], "vec_b": vids[b]})
+
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,830 @@
+"""Driver-facing parity queries (SURVEY.md §2 operator inventory) with DuckDB
+oracle SQL twins. Each entry exercises one operator family of the reference,
+re-expressed Ray-Data-first over the driver test tables
+(/root/testdata/sf*/ — documents, events, embeddings, TPC-H-ish star schema).
+
+Conventions shared with the SQL twins (so order-insensitive value hashes
+match): money as round(x*100) BIGINT cents; ratios as floor-scaled integers
+(the float division itself is IEEE-identical on both sides, see
+functions/text.py); dates as the reference's literal ISO string format.
+
+Registry: ``QUERIES[name] = (fn(sf_dir) -> Dataset/Table/DataFrame,
+oracle_sql | None)``. ``None`` marks genuinely non-SQL-expressible operators
+(sketches, LSH, crawl runs) — the driver applies its rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import text as T
+from ..functions.dates import created_at
+from ..functions.hashing import hash64_array
+from ..functions.tags import parse_tags
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# T1 — recursive lower_underscore → lowerCamel rename
+#   (M/ElasticSearchIndexHandler.java:493-525; Arrow renames are metadata-only)
+# --------------------------------------------------------------------------
+
+def camel_case(name: str) -> str:
+    if name == "last_modified":  # reference special-case (:508-517)
+        return "updatedAt"
+    head, *rest = name.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+def q_t1_rename(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    names = ["doc_id", "lang", "source", "n_chars"]
+    return ds.rename_columns(dict(zip(names, [camel_case(n) for n in names])))
+
+
+SQL_T1 = """
+SELECT doc_id AS "docId", lang AS "lang", source AS "source", n_chars AS "nChars"
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# T2 — field replacements + language normalization to ISO-639-3
+#   (M/ElasticSearchIndexHandler.java:464-488)
+# --------------------------------------------------------------------------
+
+_ISO3 = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "zho"}
+
+
+def q_t2_normalize(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        lang = b["lang"]
+        iso3 = pa.scalar("und", pa.string())
+        out = pc.cast(iso3, pa.string())
+        expr = pc.if_else(pc.is_valid(lang), pa.scalar("und"), pa.scalar("und"))
+        for k, v in _ISO3.items():
+            expr = pc.if_else(pc.equal(lang, k), pa.scalar(v), expr)
+        n = len(b)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "langIso3": expr,
+                "contentType": pa.array(["literature"] * n, pa.string()),
+                "searchable": pa.array([True] * n, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_T2 = """
+SELECT doc_id,
+       CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'
+                 WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'zho' ELSE 'und' END AS "langIso3",
+       'literature' AS "contentType", TRUE AS searchable
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# T3 — tolerant createdAt date-math (clamp-by-addition), reference format
+# --------------------------------------------------------------------------
+
+def q_t3_created_at(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        dt = b["o_orderdate"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "createdAt": created_at(
+                    dt.dt.year.to_numpy(), dt.dt.month.to_numpy(), dt.dt.day.to_numpy()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_T3 = """
+SELECT o_orderkey,
+       strftime(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1)
+                + to_days(CAST(day(o_orderdate) - 1 AS INT)),
+                '%Y-%m-%dT00:00:00.000Z') AS "createdAt"
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# T4 — tag-prefix dispatch (the big extractor). Tags synthesized
+# deterministically from doc columns on BOTH sides, then parsed.
+# --------------------------------------------------------------------------
+
+_LANG_ISO2 = {"en": "US", "de": "DE", "fr": "FR", "es": "ES", "zh": "CN"}
+
+
+def _synth_tag(doc_id: np.ndarray, lang: pd.Series) -> np.ndarray:
+    iso = lang.map(_LANG_ISO2).fillna("US").to_numpy()
+    fam = doc_id % 7
+    return np.select(
+        [fam == 0, fam == 1, fam == 2, fam == 3, fam == 4, fam == 5],
+        [
+            np.char.add("gbifDOI:10.5072/dl.", (doc_id % 50).astype(str)),
+            np.where(doc_id % 2 == 0, "peer_review:true", "peer_review:false"),
+            np.where(
+                doc_id % 13 == 0,
+                np.char.add("gbifTaxon:x", doc_id.astype(str)),
+                np.char.add("gbifTaxon:", (doc_id % 997).astype(str)),
+            ),
+            np.char.add("gbifOccurrence:", (doc_id * 7).astype(str)),
+            iso,
+            np.char.add(np.char.lower(iso.astype(str)), "_biodiversity"),
+        ],
+        default="citation_type:journal",
+    )
+
+
+def q_t4_tag_dispatch(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        tags = pa.array(_synth_tag(b["doc_id"].to_numpy(), b["lang"]), pa.string())
+        parsed = parse_tags(tags)
+        return parsed.add_column(0, "doc_id", pa.array(b["doc_id"].to_numpy(), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_T4 = """
+WITH tagged AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 0 THEN 'gbifDOI:10.5072/dl.' || CAST(doc_id % 50 AS VARCHAR)
+           WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 'peer_review:true' ELSE 'peer_review:false' END
+           WHEN 2 THEN CASE WHEN doc_id % 13 = 0 THEN 'gbifTaxon:x' || CAST(doc_id AS VARCHAR)
+                            ELSE 'gbifTaxon:' || CAST(doc_id % 997 AS VARCHAR) END
+           WHEN 3 THEN 'gbifOccurrence:' || CAST(doc_id * 7 AS VARCHAR)
+           WHEN 4 THEN CASE lang WHEN 'en' THEN 'US' WHEN 'de' THEN 'DE' WHEN 'fr' THEN 'FR'
+                                 WHEN 'es' THEN 'ES' WHEN 'zh' THEN 'CN' ELSE 'US' END
+           WHEN 5 THEN lower(CASE lang WHEN 'en' THEN 'US' WHEN 'de' THEN 'DE' WHEN 'fr' THEN 'FR'
+                                       WHEN 'es' THEN 'ES' WHEN 'zh' THEN 'CN' ELSE 'US' END) || '_biodiversity'
+           ELSE 'citation_type:journal' END AS tag,
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN tag LIKE 'gbifDOI:%' THEN substr(tag, 9) END AS doi,
+       (tag = 'peer_review:true') AS peer_review,
+       (tag = 'open_access:true') AS open_access,
+       CASE WHEN regexp_matches(tag, '^gbifTaxon:[0-9]+$') THEN CAST(substr(tag, 11) AS BIGINT) END AS taxon_key,
+       CASE WHEN regexp_matches(tag, '^gbifOccurrence:[0-9]+$') THEN CAST(substr(tag, 16) AS BIGINT) END AS occurrence_key,
+       CASE WHEN tag LIKE 'citation_type:%' THEN substr(tag, 15) END AS citation_type,
+       CASE WHEN regexp_matches(tag, '^[a-z]{2}_biodiversity$') THEN upper(substr(tag, 1, 2)) END AS country_coverage,
+       CASE WHEN regexp_matches(tag, '^[A-Z]{2}$') THEN tag END AS country_researcher,
+       CASE WHEN upper(replace(tag, ' ', '_')) IN ('DATA_PAPER','CITIZEN_SCIENCE','BIODIVERSITY','CONSERVATION','INVASIVES')
+            THEN upper(replace(tag, ' ', '_')) END AS topic
+FROM tagged
+"""
+
+# --------------------------------------------------------------------------
+# T5 — controlled-term membership (broadcast keyword set)
+# --------------------------------------------------------------------------
+
+def q_t5_controlled_terms(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["lang"], value_set=pa.array(["en", "fr"]))
+        f = b.filter(keep)
+        return pa.table({"doc_id": f["doc_id"], "topic": pc.utf8_upper(f["lang"])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_T5 = "SELECT doc_id, upper(lang) AS topic FROM documents WHERE lang IN ('en','fr')"
+
+# --------------------------------------------------------------------------
+# T13 — literal-prefix predicate + grouped count (pre-aggregated)
+# --------------------------------------------------------------------------
+
+def q_t13_prefix_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.starts_with(pc.utf8_lower(b["text"]), "the ")
+        f = b.filter(keep)
+        agg = (
+            pd.Series(f["lang"].to_pandas()).value_counts().rename_axis("lang").reset_index(name="n")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_T13 = "SELECT lang, count(*) AS n FROM documents WHERE lower(text) LIKE 'the %' GROUP BY lang"
+
+# --------------------------------------------------------------------------
+# J1 — broadcast hash left join + grouped aggregate
+# --------------------------------------------------------------------------
+
+def q_j1_orders_customer(sf_dir: str):
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "c_name": pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False)).map(lookup),
+                "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("c_name", as_index=False).agg(
+            order_cnt=("cents", "size"), total_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_name")
+        .aggregate(Sum("order_cnt", alias_name="order_cnt"), Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+SQL_J1 = """
+SELECT c.c_name AS c_name, count(*) AS order_cnt,
+       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name
+"""
+
+# --------------------------------------------------------------------------
+# J3 — two-hop dimension enrichment (dims pre-joined driver-side, broadcast)
+# --------------------------------------------------------------------------
+
+def q_j3_two_hop(sf_dir: str):
+    nation = pd.read_parquet(_p(sf_dir, "nation"))
+    region = pd.read_parquet(_p(sf_dir, "region"))
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "region": pd.Series(b["c_nationkey"].to_numpy(zero_copy_only=False)).map(lookup),
+                "cents": _cents(b["c_acctbal"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("region", as_index=False).agg(
+            customer_cnt=("cents", "size"), acctbal_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(
+            Sum("customer_cnt", alias_name="customer_cnt"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+    )
+
+
+SQL_J3 = """
+SELECT r.r_name AS region, count(*) AS customer_cnt,
+       SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+# --------------------------------------------------------------------------
+# J2 — semi join via broadcast key set
+# --------------------------------------------------------------------------
+
+def q_j2_semi_join(sf_dir: str):
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    keys = pa.array(cust.loc[cust["c_acctbal"] > 5000, "c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["o_custkey"], value_set=ray.get(keys_ref)))
+        agg = (
+            pd.Series(f["o_orderstatus"].to_pandas())
+            .value_counts()
+            .rename_axis("o_orderstatus")
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_J2 = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderstatus
+"""
+
+# --------------------------------------------------------------------------
+# A1 — exact dedup keep-first (content-hash keyed groupby)
+# --------------------------------------------------------------------------
+
+def q_a1_dedup_first(sf_dir: str):
+    from .dedup import exact_dedup_first
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_first(ds).select_columns(["doc_id", "text"])
+
+
+SQL_A1 = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+# --------------------------------------------------------------------------
+# A3 — grouped collect-set (deterministic sorted join, reference's
+# reverse-link tag aggregation C/ESDocumentLinker.java:37-122)
+# --------------------------------------------------------------------------
+
+def q_a3_collect_set(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        vals = ",".join(sorted(set(g["event_type"])))
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "event_types": [vals]})
+
+    return ds.groupby("user_id").map_groups(collect, batch_format="pandas")
+
+
+SQL_A3 = """
+SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+FROM events GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# A5 — 4-way union + distinct (the lookup-dimension build,
+# M/DatasetUsagesCollector.java:76-107)
+# --------------------------------------------------------------------------
+
+def q_a5_union_distinct(sf_dir: str):
+    def keys(table: str, col: str) -> rd.Dataset:
+        return _read(sf_dir, table, [col]).map_batches(
+            lambda b, c=col: pa.table({"k": pc.cast(b[c], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    u = (
+        keys("orders", "o_custkey")
+        .union(keys("customer", "c_custkey"))
+        .union(keys("supplier", "s_suppkey"))
+        .union(keys("nation", "n_nationkey"))
+    )
+    return u.groupby("k").map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+SQL_A5 = """
+SELECT DISTINCT k FROM (
+  SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer
+  UNION ALL SELECT s_suppkey FROM supplier UNION ALL SELECT CAST(n_nationkey AS BIGINT) FROM nation)
+"""
+
+# --------------------------------------------------------------------------
+# A7 — frontier-style top-k (pre-agg + grouped sum + sort/limit)
+# --------------------------------------------------------------------------
+
+def q_a7_topk_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = (
+            pd.Series(b["user_id"].to_numpy(zero_copy_only=False))
+            .value_counts()
+            .rename_axis("user_id")
+            .reset_index(name="n_events")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_A7 = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# §2.7 — global sort + limit
+# --------------------------------------------------------------------------
+
+def q_sort_limit(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "price_cents": _cents(b["l_extendedprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(["price_cents", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(100)
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+# --------------------------------------------------------------------------
+# Streaming-shaped: per-user daily tumbling window
+# --------------------------------------------------------------------------
+
+def q_window_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            day=b["ts"].dt.strftime("%Y-%m-%d"),
+            cents=np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        )
+        return b.groupby(["user_id", "day"], as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+SQL_WINDOW_DAILY = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+"""
+
+# --------------------------------------------------------------------------
+# A6-style grouped metrics
+# --------------------------------------------------------------------------
+
+def q_groupby_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "cents": _cents(b["value"])})
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("cents", alias_name="min_cents"),
+            Max("cents", alias_name="max_cents"),
+        )
+    )
+
+
+SQL_GROUPBY_EVENTS = """
+SELECT event_type, count(*) AS n,
+       MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+       MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# Dedup suite
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    n_rows = ds.count()
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(hash64_array(b["text"]), pa.uint64())})
+
+    n_unique = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .count()
+    )
+    return pa.table({"n_rows": pa.array([n_rows]), "n_unique": pa.array([n_unique])})
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique FROM documents"
+)
+
+
+def q_dedup_bow(sf_dir: str):
+    """Bag-of-words fingerprint dedup: groups of docs with identical sorted
+    token multisets (order-insensitive exact dup detection)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_bow(b: pd.DataFrame) -> pd.DataFrame:
+        bow = b["text"].fillna("").map(lambda t: " ".join(sorted(t.split(" "))))
+        return pd.DataFrame({"doc_id": b["doc_id"], "bow": bow})
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "bow": [g["bow"].iloc[0]], "n_dups": [np.int64(len(g))]}
+        )
+
+    return (
+        ds.map_batches(add_bow, batch_format="pandas")
+        .groupby("bow")
+        .map_groups(group, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_BOW = """
+SELECT min(doc_id) AS doc_id, array_to_string(list_sort(string_split(text, ' ')), ' ') AS bow,
+       count(*) AS n_dups
+FROM documents GROUP BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    from .dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(_p(sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from .dedup import simhash_signatures
+
+    return simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embed_neardup(sf_dir: str):
+    from .ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_p(sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    from .ann import ann_topk
+
+    return ann_topk(_p(sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+SELECT q.query_id, e.vec_id
+FROM q CROSS JOIN embeddings e
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 10
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    from .ann import ivf_topk
+
+    return ivf_topk(_p(sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q_text_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": T.token_counts(b["text"])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(T.quality_features, batch_format="pandas")
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE floor(
+           1e6 * len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) / len(toks))
+       END AS BIGINT) AS stop_ratio_e6,
+       CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE floor(
+           1e3 * list_sum(list_transform(toks, x -> length(x))) / len(toks))
+       END AS BIGINT) AS mean_tok_len_e3
+FROM t
+"""
+
+
+def q_text_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "pred_lang": T.langid(b["text"])})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_text_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "fingerprint": T.rolling_fingerprint(b["text"])}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Flagship crawl + image pipeline (rows-only: stateful multi-wave run)
+# --------------------------------------------------------------------------
+
+_SF_TIERS = {  # FIXTURES.md F6 scale points keyed by sf directory name
+    "sf0.001": (500, 1_000),
+    "sf0.01": (5_000, 10_000),
+    "sf0.1": (50_000, 200_000),
+}
+
+
+def crawl_tier(sf_dir: str) -> tuple[int, int]:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _SF_TIERS.get(name, (500, 1_000))
+
+
+def _ensure_corpus(n_corpus: int, tmp_root: str = "/tmp/ccray") -> str:
+    """Synthesize (once) and cache the corpus parquet for a tier."""
+    import pyarrow.parquet as pq
+
+    from ..sources import synth
+
+    path = os.path.join(tmp_root, f"corpus_{n_corpus}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(tmp_root, exist_ok=True)
+        n_shards = max(1, n_corpus // 2000)
+        bounds = np.linspace(0, n_corpus, n_shards + 1, dtype=int)
+        shards = (
+            rd.from_items(
+                [{"lo": int(lo), "hi": int(hi)} for lo, hi in zip(bounds[:-1], bounds[1:])]
+            )
+            .map_batches(
+                lambda b: synth.corpus_rows(int(b["lo"][0]), int(b["hi"][0]), n_corpus),
+                batch_size=1,
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        tmp = path + ".tmp"
+        tbl = pa.concat_tables(ray.get(shards.to_arrow_refs()))
+        tbl = tbl.sort_by("image_id")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def run_flagship(sf_dir: str, out_dir: str | None = None):
+    """The flagship image crawl at the tier matching sf_dir; returns fetched
+    rows (minus the binary payload) ordered by url_hash."""
+    import shutil
+    import tempfile
+
+    from ..config import CrawlConfig
+    from ..sources import synth
+    from .crawl import read_fetched, run_crawl
+
+    n_corpus, n_seeds = crawl_tier(sf_dir)
+    corpus_path = _ensure_corpus(n_corpus)
+    seeds = synth.make_seeds(n_seeds, n_corpus)
+    out = out_dir or tempfile.mkdtemp(prefix="crawl_", dir="/tmp/ccray")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        wave_size=max(1000, n_seeds // 4),
+        host_budget=max(16, n_seeds // 100),
+        max_waves=24,
+        fetch_concurrency=4,
+        checkpoint=False,
+    )
+    run_crawl(corpus_path, seeds, out, cfg)
+    ds = read_fetched(out).drop_columns(["bytes"])
+
+    def cast_hash(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("url_hash")
+        return b.set_column(
+            i, "url_hash", pc.cast(pc.bit_wise_and(b["url_hash"], pa.scalar(0x7FFFFFFFFFFFFFFF, pa.uint64())), pa.int64())
+        )
+
+    return ds.map_batches(cast_hash, batch_format="pyarrow")
+
+
+def q_crawl_flagship(sf_dir: str):
+    return run_flagship(sf_dir)
+
+
+def q_image_stats(sf_dir: str):
+    """Decode the tier corpus with the multimodal actor stage; per-format
+    aggregate stats (rows-only — decode is not SQL-expressible)."""
+    from ..stages.multimodal import DecodeStats
+
+    n_corpus, _ = crawl_tier(sf_dir)
+    corpus_path = _ensure_corpus(n_corpus)
+    ds = rd.read_parquet(corpus_path)
+    stats = ds.map_batches(
+        DecodeStats, batch_format="pyarrow", batch_size=512, concurrency=4, num_cpus=1
+    )
+    return stats.groupby("fmt").aggregate(
+        Count(alias_name="n"),
+        Sum("w", alias_name="sum_w"),
+        Sum("h", alias_name="sum_h"),
+        Min("psnr_e3", alias_name="min_psnr_e3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "q_t1_rename": (q_t1_rename, SQL_T1),
+    "q_t2_normalize": (q_t2_normalize, SQL_T2),
+    "q_t3_created_at": (q_t3_created_at, SQL_T3),
+    "q_t4_tag_dispatch": (q_t4_tag_dispatch, SQL_T4),
+    "q_t5_controlled_terms": (q_t5_controlled_terms, SQL_T5),
+    "q_t13_prefix_filter": (q_t13_prefix_filter, SQL_T13),
+    "q_j1_orders_customer": (q_j1_orders_customer, SQL_J1),
+    "q_j2_semi_join": (q_j2_semi_join, SQL_J2),
+    "q_j3_two_hop": (q_j3_two_hop, SQL_J3),
+    "q_a1_dedup_first": (q_a1_dedup_first, SQL_A1),
+    "q_a3_collect_set": (q_a3_collect_set, SQL_A3),
+    "q_a5_union_distinct": (q_a5_union_distinct, SQL_A5),
+    "q_a7_topk_users": (q_a7_topk_users, SQL_A7),
+    "q_sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
+    "q_window_daily": (q_window_daily, SQL_WINDOW_DAILY),
+    "q_groupby_events": (q_groupby_events, SQL_GROUPBY_EVENTS),
+    "q_dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT),
+    "q_dedup_bow": (q_dedup_bow, SQL_DEDUP_BOW),
+    "q_dedup_minhash": (q_dedup_minhash, None),
+    "q_dedup_simhash": (q_dedup_simhash, None),
+    "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "q_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "q_ann_ivf": (q_ann_ivf, None),
+    "q_text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
+    "q_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "q_text_langid": (q_text_langid, None),
+    "q_text_fingerprint": (q_text_fingerprint, None),
+    "q_crawl_flagship": (q_crawl_flagship, None),
+    "q_image_stats": (q_image_stats, None),
+}

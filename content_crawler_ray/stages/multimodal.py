@@ -1,0 +1,97 @@
+"""Multimodal (image/audio/video) actor-pool stages.
+
+The corpus carries opaque ``binary`` payloads with typed metadata
+(w/h/fmt — BASELINE.json input_hint). The in-sandbox codecs (``raw``,
+``dctq``) decode for real via functions/codecs; foreign formats (jpeg/png/
+webp, audio, video) have no decoder wheels in this container, so those paths
+are STUBBED behind clearly-marked NotImplementedError — but the Ray-side
+plumbing (schema, actor signature, batch sizing, output layout) is real and
+tested (SURVEY.md instruction: stub the codec, keep the pipeline honest).
+
+Batch sizing note: rows are binary-heavy — callers pass a small
+``batch_size`` (512 by default in q_image_stats) so batch × concurrency
+stays inside a worker heap; blocks remain zero-copy Arrow throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs
+
+KNOWN_FORMATS = ("raw", "dctq")
+
+
+class DecodeStats:
+    """Decode each image and emit per-row quality stats (PSNR vs the
+    deterministic original, recomputed phash). Actor pool: nothing heavy to
+    init here, but the class form keeps the slot where a real decoder pool
+    (libjpeg handles, GPU contexts) would warm up once per worker."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        phs = batch["phash"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        psnr_e3 = np.zeros(n, dtype=np.int64)
+        phash_ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            decoded = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+            orig = codecs.gen_pixels(ids[i], int(ws[i]), int(hs[i]))
+            psnr_e3[i] = int(np.floor(codecs.psnr(decoded, orig) * 1000))
+            phash_ok[i] = codecs.phash64(decoded) == int(phs[i])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "w": batch["w"],
+                "h": batch["h"],
+                "psnr_e3": pa.array(psnr_e3, pa.int64()),
+                "phash_ok": pa.array(phash_ok, pa.bool_()),
+            }
+        )
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Dispatch decode; foreign formats raise (production: PIL/libjpeg here)."""
+    if fmt in KNOWN_FORMATS:
+        return codecs.decode(data, w, h, fmt)
+    raise NotImplementedError(
+        f"no decoder for fmt={fmt!r} in this container (production: PIL/ffmpeg)"
+    )
+
+
+class ResizeStage:
+    """Deterministic area-pool resize to (target × target) grayscale; the
+    real-world analog (bilinear via PIL) is a drop-in for _pool_to."""
+
+    def __init__(self, target: int = 32):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        out = []
+        for i in range(len(blobs)):
+            px = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+            small = codecs._pool_to(px, self.target)
+            out.append(np.clip(np.round(small), 0, 255).astype(np.uint8).tobytes())
+        t = batch.select(["image_id"])
+        t = t.append_column("thumb", pa.array(out, pa.binary()))
+        t = t.append_column(
+            "thumb_w", pa.array([self.target] * len(out), pa.int32())
+        )
+        return t.append_column("thumb_h", pa.array([self.target] * len(out), pa.int32()))
+
+
+def sample_frames(data: bytes, fmt: str, every_n: int = 10) -> list[bytes]:
+    """Video frame sampling — STUB: no video codec in this container.
+    The actor-stage contract (binary in → list of frame payloads out) is what
+    a production ffmpeg-backed implementation would fill in."""
+    raise NotImplementedError("video decode unavailable in-sandbox (ffmpeg would plug in here)")
