@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract).
+
+Headline = the flagship image crawl at the tier matching $GRAFT_SF_DIR
+(FIXTURES.md F6: sf0.1 → 50k-image corpus, 200k seed URLs), timed end-to-end
+through the wave loop (fetch+decode+link-discovery+frontier shuffles), plus a
+selection of operator pipelines. Corpus/seed synthesis is fixture preparation
+and excluded from the timed region (cached under /tmp/ccray between runs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ..., "frontier_dequeue_per_sec": ...}
+
+``--scaling``: reruns this script in fresh processes at num_cpus=8 and 32 on
+the same input and reports both throughputs + scaling efficiency
+(the in-sandbox proxy for the N vs 4N-node criterion; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q_j1_orders_customer",
+    "q_window_daily",
+    "q_sort_limit",
+    "q_a1_dedup_first",
+    "q_dedup_minhash",
+    "q_ann_topk",
+    "q_text_quality",
+    "q_image_stats",
+]
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR"
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from content_crawler_ray.config import CrawlConfig
+    from content_crawler_ray.pipelines import crawl as crawl_mod
+    from content_crawler_ray.pipelines.queries import QUERIES, _ensure_corpus, crawl_tier
+    from content_crawler_ray.sources import synth
+
+    n_corpus, n_seeds = crawl_tier(sf_dir)
+    corpus_path = _ensure_corpus(n_corpus)  # fixture prep, untimed
+    seeds = synth.make_seeds(n_seeds, n_corpus)
+    out = f"/tmp/ccray/bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    cfg = CrawlConfig(
+        wave_size=max(1000, n_seeds // 4),
+        host_budget=max(16, n_seeds // 100),
+        max_waves=24,
+        fetch_concurrency=max(2, num_cpus // 2),
+        fetch_batch_size=2048,
+        checkpoint=False,
+    )
+    t0 = time.time()
+    res = crawl_mod.run_crawl(corpus_path, seeds, out, cfg)
+    headline = time.time() - t0
+    fetched = sum(m["granted"] for m in res["metrics"])
+    dequeued = sum(m["wavefront"] for m in res["metrics"])
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        out_ds = fn(sf_dir)
+        if hasattr(out_ds, "materialize"):
+            out_ds = out_ds.materialize()
+        per_query[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship_crawl_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "fetched_urls": fetched,
+        "urls_per_sec": round(fetched / headline, 1),
+        "frontier_dequeue_per_sec": round(dequeued / headline, 1),
+        "n_waves": res["n_waves"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)  # also warms the corpus cache + page cache
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "urls_per_sec_8": r_lo["urls_per_sec"],
+        "urls_per_sec_32": r_hi["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -20,19 +20,28 @@ decision is a function of (priority, seed_rank, host, url_hash) — never of
 block arrival order — so the same seed list + politeness budget reproduces
 the reference's crawl ordering and URL-seen membership at any parallelism.
 
+The frontier is a **lazy-deletion priority queue** (see simulator.py): it may
+hold several rows per url_hash, dedup happens at wave selection (the best dup
+always sorts first), and all rows sharing a wave hash leave the frontier with
+that wave. This removes the naive design's full-frontier dedup shuffle per
+wave — the only per-wave frontier-wide operations are ONE sort+limit and ONE
+broadcast anti-join filter pass.
+
 Wave steps (exactly mirrors simulator.simulate):
   1. wave  = frontier.sort(priority DESC, seed_rank ASC).limit(K)   [shuffle]
+     → dedup by url_hash keep-first-in-sort-order (driver, O(K))
   2. rest  = frontier anti-joined on the K broadcast wave hashes    [lazy map]
   3. robots filter → seen filter → per-host rank-vs-budget grant;
      granted hashes inserted into seen shards (before links flow)
   4. granted → map_batches(FetchDecode, concurrency=N) → out/wave=<n>/
-  5. links extracted/canonicalized/hashed, deduped, seen-filtered
-  6. frontier' = dedup(rest ∪ denied ∪ links) by url_hash keep-best [shuffle]
+  5. links extracted/canonicalized/hashed, self-deduped keep-best,
+     seen-filtered (after the grant barrier)
+  6. frontier' = rest ∪ denied ∪ links                              [union]
   7. checkpoint frontier + seen shards + politeness counters, commit manifest
 
 Skew note: hot hosts are bounded by host_budget per wave regardless of
-frontier skew; the dedup/sort shuffles key on url_hash / priority which are
-uniform — host skew never becomes partition skew.
+frontier skew; the sort shuffle keys on priority (uniform) — host skew never
+becomes partition skew.
 """
 
 from __future__ import annotations
@@ -61,7 +70,9 @@ FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 
 
 def prepare_frontier(seeds: rd.Dataset) -> rd.Dataset:
-    """Raw seed rows (url, priority, depth, seed_rank) → canonical frontier."""
+    """Raw seed rows (url, priority, depth, seed_rank) → canonical frontier.
+    No dedup here: the frontier is a lazy-deletion priority queue (duplicate
+    hashes resolve at wave selection — the best dup always sorts first)."""
 
     def canon(batch: pa.Table) -> pa.Table:
         urls = canonicalize_array(batch["url"])
@@ -76,17 +87,7 @@ def prepare_frontier(seeds: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return dedup_frontier(seeds.map_batches(canon, batch_format="pyarrow"))
-
-
-def _best_row(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values(["priority", "seed_rank"], ascending=[False, True]).head(1)
-
-
-def dedup_frontier(ds: rd.Dataset) -> rd.Dataset:
-    """Exact dedup by url_hash keeping the row that sorts first by
-    (priority DESC, seed_rank ASC) — A1 as a groupby shuffle."""
-    return ds.groupby("url_hash").map_groups(_best_row, batch_format="pandas")
+    return seeds.map_batches(canon, batch_format="pyarrow")
 
 
 def _filter_not_in(ds: rd.Dataset, hashes_ref) -> rd.Dataset:
@@ -194,7 +195,7 @@ def run_crawl(
     wave_no = start_wave
     while wave_no < cfg.max_waves:
         t0 = time.time()
-        # ---- 1. wave top-k (frontier-wide shuffle) -------------------------
+        # ---- 1. wave top-k (frontier-wide sort shuffle) --------------------
         wave_tbl = _collect(
             frontier.sort(["priority", "seed_rank"], descending=[True, False]).limit(
                 cfg.wave_size
@@ -202,9 +203,17 @@ def run_crawl(
         )
         if wave_tbl.num_rows == 0:
             break
+        # dedup at selection (lazy-deletion PQ): rows arrive in sort order, so
+        # keep='first' keeps the globally best row of each hash
+        wdf = wave_tbl.to_pandas().sort_values(
+            ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
+        )
+        wdf = wdf.drop_duplicates("url_hash", keep="first")
+        wave_tbl = pa.Table.from_pandas(wdf, preserve_index=False).cast(FRONTIER_SCHEMA)
         wave_hashes = np.sort(
             wave_tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         )
+        # lazy deletion: every frontier row sharing a wave hash is dropped
         rest = _filter_not_in(frontier, ray.put(wave_hashes))
 
         # ---- 2-3. control plane: robots / seen / politeness ----------------
@@ -223,7 +232,7 @@ def run_crawl(
                     fn_constructor_kwargs=dict(corpus_path=corpus_path),
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
-                    concurrency=cfg.fetch_concurrency,
+                    concurrency=(1, cfg.fetch_concurrency),
                     num_cpus=1,
                 )
                 .materialize()
@@ -261,14 +270,15 @@ def run_crawl(
                     FRONTIER_SCHEMA
                 )
 
-        # ---- 6. frontier update (distributed dedup shuffle) ----------------
+        # ---- 6. frontier update: rest ∪ denied ∪ links (no dedup shuffle —
+        # lazy-deletion PQ; duplicates resolve at a later wave's selection) ---
         new_frontier = rest
         extra = pa.concat_tables(
             [denied, links_tbl] if links_tbl.num_rows else [denied]
         )
         if extra.num_rows:
             new_frontier = rest.union(rd.from_arrow(extra))
-        frontier = dedup_frontier(new_frontier).materialize()
+        frontier = new_frontier.materialize()
 
         m = dict(
             wave=wave_no,

@@ -83,8 +83,11 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
     """LSH candidate (doc_a, doc_b) pairs, deduped."""
+    # autoscaling pool (min 1): a fixed pool of `concurrency` actors could
+    # reserve every CPU of a small session and starve the downstream
+    # groupby shuffle (deadlock) — see ray_guide actor-pool sizing note
     lsh = docs.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+        MinHashStage, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
     )
     pairs = lsh.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"

@@ -275,7 +275,7 @@ def q_j1_orders_customer(sf_dir: str):
 
 SQL_J1 = """
 SELECT c.c_name AS c_name, count(*) AS order_cnt,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_name
 """
@@ -316,7 +316,7 @@ def q_j3_two_hop(sf_dir: str):
 
 SQL_J3 = """
 SELECT r.r_name AS region, count(*) AS customer_cnt,
-       SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
@@ -498,7 +498,7 @@ def q_window_daily(sf_dir: str):
 
 SQL_WINDOW_DAILY = """
 SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       count(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       count(*) AS n, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
 """
 
@@ -783,7 +783,7 @@ def q_image_stats(sf_dir: str):
     corpus_path = _ensure_corpus(n_corpus)
     ds = rd.read_parquet(corpus_path)
     stats = ds.map_batches(
-        DecodeStats, batch_format="pyarrow", batch_size=512, concurrency=4, num_cpus=1
+        DecodeStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 4), num_cpus=1
     )
     return stats.groupby("fmt").aggregate(
         Count(alias_name="n"),

@@ -6,18 +6,25 @@ must reproduce (the reference's observable contract, generalized from its
 seen-set M/ElasticSearchIndexHandler.java:213-217, 1-in-flight-per-host
 politeness, config-order scheduling C/ContentfulCrawler.java:135-137):
 
+The frontier is a **lazy-deletion priority queue**: it may hold several rows
+per url_hash; the best one (priority DESC, seed_rank ASC) always sorts first,
+so dedup happens at wave selection and stale duplicates are dropped when their
+hash leaves with a wave — the standard frontier-PQ trick that avoids a
+full-frontier dedup shuffle per wave in the distributed engine.
+
 wave loop (must match pipelines/crawl.py step for step):
-  1. sort frontier by (priority DESC, seed_rank ASC); wave = first K
+  1. sort frontier by (priority DESC, seed_rank ASC); wave = first K rows
+     deduped by url_hash keeping the first in sort order (= global best);
+     rest = remaining rows whose url_hash is NOT in the wave (lazy deletion)
   2. drop robots-disallowed rows (path contains /private/)
   3. admitted = wave rows whose url_hash ∉ seen
   4. politeness: per host, grant the first ``host_budget`` admitted rows in
      sort order; insert granted hashes into seen; assign per-host fetch_seq
   5. fetch granted against the corpus (200/404), decode, psnr, phash check
   6. extract ``href=`` links from captions of 200s; canonicalize; hash;
-     priority = parent*0.5, depth+1, seed_rank = parent_rank*1000+j; drop
-     links already in seen or deeper than max_depth
-  7. frontier = dedup(rest ∪ denied ∪ links) by url_hash keeping the row
-     that sorts first by (priority DESC, seed_rank ASC)
+     priority = parent*0.5, depth+1, seed_rank = parent_rank*1000+j; cap at
+     max_depth; self-dedup keep-best; drop links in the (post-wave) seen set
+  7. frontier = rest ∪ denied ∪ links   (no global dedup — lazy deletion)
 
 Outputs golden_order (host, fetch_seq, url_hash), golden_seen (sorted hashes)
 and golden_fetched rows (FIXTURES.md F3).
@@ -106,7 +113,6 @@ def simulate(
         frontier.append(
             FrontierRow(canon, hash64_scalar(canon), _host_of(canon), float(np.float32(pr)), depth, rank)
         )
-    frontier = _dedup(frontier)
 
     seen: set[int] = set()
     host_seq: dict[str, int] = defaultdict(int)
@@ -116,7 +122,15 @@ def simulate(
     wave = 0
     while frontier and wave < max_waves:
         frontier.sort(key=_sort_key)
-        wavefront, rest = frontier[:wave_size], frontier[wave_size:]
+        wave_raw = frontier[:wave_size]
+        # dedup at selection: the best row of any hash in the top-K sorts first
+        wavefront, wave_hashes = [], set()
+        for r in wave_raw:
+            if r.url_hash not in wave_hashes:
+                wave_hashes.add(r.url_hash)
+                wavefront.append(r)
+        # lazy deletion: every row sharing a wave hash leaves the frontier
+        rest = [r for r in frontier[wave_size:] if r.url_hash not in wave_hashes]
         allowed = [r for r in wavefront if robots_allowed(r.url)]
         admitted = [r for r in allowed if r.url_hash not in seen]
         granted, denied = [], []
@@ -155,21 +169,20 @@ def simulate(
             if r.depth < max_depth:
                 for j, link in enumerate(LINK_RE.findall(caption or "")):
                     canon = canonicalize_scalar(link)
-                    lh = hash64_scalar(canon)
-                    if lh in seen:
-                        continue
                     discovered.append(
-                        FrontierRow(canon, lh, _host_of(canon),
+                        FrontierRow(canon, hash64_scalar(canon), _host_of(canon),
                                     float(np.float32(r.priority * LINK_PRIORITY_DECAY)),
                                     r.depth + 1, r.seed_rank * LINK_RANK_BASE + j)
                     )
+        # links: self-dedup keep-best, then drop against the complete post-wave
+        # seen set (matches the engine's grant-barrier-then-filter ordering)
+        discovered = [d for d in _dedup(discovered) if d.url_hash not in seen]
         metrics.append(
             dict(wave=wave, wavefront=len(wavefront), robots_dropped=len(wavefront) - len(allowed),
                  admitted=len(admitted), granted=len(granted), denied=len(denied),
                  discovered=len(discovered), frontier_rest=len(rest))
         )
-        frontier = _dedup(rest + denied + discovered)
-        frontier = [r for r in frontier if r.url_hash not in seen]
+        frontier = rest + denied + discovered  # lazy deletion: no global dedup
         wave += 1
 
     return {

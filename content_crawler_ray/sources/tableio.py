@@ -4,7 +4,7 @@ Production target is Lance (versioned tables, manifest pointer flip); the
 sandbox has no lance wheel, so the same protocol is implemented over Parquet
 directories:
 
-  - every wave writes its state under ``state/wave=<n>/`` (frontier parquet,
+  - every wave writes its state under ``state/wave_<n>/`` (frontier parquet,
     seen-set shard parquets, politeness counters json),
   - a ``MANIFEST.json`` is written to a temp name and atomically renamed LAST
     — the commit point (analog of the reference's staging-index + alias swap,
@@ -29,7 +29,9 @@ MANIFEST = "MANIFEST.json"
 
 
 def wave_state_dir(out_dir: str, wave: int) -> str:
-    return os.path.join(out_dir, "state", f"wave={wave}")
+    # no '=' in state paths: hive-partition inference would inject a bogus
+    # 'wave' column when the frontier parquet is read back on resume
+    return os.path.join(out_dir, "state", f"wave_{wave}")
 
 
 def wave_data_dir(out_dir: str, wave: int) -> str:
@@ -78,8 +80,8 @@ def latest_checkpoint(out_dir: str) -> int | None:
         return None
     waves = []
     for name in os.listdir(state):
-        if name.startswith("wave=") and os.path.exists(os.path.join(state, name, MANIFEST)):
-            waves.append(int(name.split("=", 1)[1]))
+        if name.startswith("wave_") and os.path.exists(os.path.join(state, name, MANIFEST)):
+            waves.append(int(name.removeprefix("wave_")))
     return max(waves) if waves else None
 
 

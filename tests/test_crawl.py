@@ -1,0 +1,118 @@
+"""Engine-vs-simulator golden equality, resume, and fetch retry semantics."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from content_crawler_ray import simulator
+from content_crawler_ray.config import CrawlConfig
+from content_crawler_ray.sources import synth
+
+N_CORPUS, N_SEEDS = 100, 200
+CFG = dict(
+    wave_size=50,
+    host_budget=3,
+    max_waves=16,
+    n_seen_shards=3,
+    n_politeness_shards=2,
+    fetch_concurrency=2,
+    fetch_batch_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_seeds(tmp_path_factory):
+    corpus = synth.make_corpus(N_CORPUS)
+    seeds = synth.make_seeds(N_SEEDS, N_CORPUS)
+    root = tmp_path_factory.mktemp("crawl")
+    path = os.path.join(root, "corpus.parquet")
+    pq.write_table(corpus, path)
+    return corpus, seeds, path, str(root)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_and_seeds):
+    corpus, seeds, _, _ = corpus_and_seeds
+    return simulator.simulate(
+        seeds, corpus, wave_size=CFG["wave_size"], host_budget=CFG["host_budget"],
+        max_waves=CFG["max_waves"],
+    )
+
+
+def _run(corpus_path, seeds, out, **overrides):
+    from content_crawler_ray.pipelines import crawl
+
+    cfg = CrawlConfig(**{**CFG, **overrides})
+    res = crawl.run_crawl(corpus_path, seeds, out, cfg)
+    return res, crawl.read_fetched(out).to_pandas()
+
+
+def test_engine_matches_simulator(ray_session, corpus_and_seeds, golden):
+    corpus, seeds, corpus_path, root = corpus_and_seeds
+    out = os.path.join(root, "out_main")
+    shutil.rmtree(out, ignore_errors=True)
+    res, fetched = _run(corpus_path, seeds, out, checkpoint=False)
+
+    order = sorted(zip(fetched.host, fetched.fetch_seq, fetched.url_hash.astype("uint64").astype(object)))
+    assert order == [tuple(x) for x in golden["golden_order"]]
+    assert sorted(int(x) for x in fetched.url_hash.astype("uint64")) == golden["golden_seen"]
+
+    ok = fetched[fetched.status == 200]
+    assert (ok.psnr >= 40).all()  # decoded-pixel invariant incl. lossy dctq
+    assert ok.phash_ok.all()
+
+    simf = pd.DataFrame(golden["golden_fetched"]).sort_values("url_hash").reset_index(drop=True)
+    engf = fetched.sort_values("url_hash").reset_index(drop=True)
+    assert len(simf) == len(engf)
+    for col in ["status", "wave", "fetch_seq", "depth", "caption"]:
+        assert simf[col].tolist() == engf[col].tolist(), col
+
+
+def test_resume_equals_uninterrupted(ray_session, corpus_and_seeds, golden):
+    _, seeds, corpus_path, root = corpus_and_seeds
+    out_a = os.path.join(root, "out_resume")
+    shutil.rmtree(out_a, ignore_errors=True)
+    _run(corpus_path, seeds, out_a, max_waves=4)
+    res2, fetched_a = _run(corpus_path, seeds, out_a, resume=True)
+    simf = pd.DataFrame(golden["golden_fetched"])
+    assert len(fetched_a) == len(simf)
+    a = sorted(zip(fetched_a.host, fetched_a.fetch_seq, fetched_a.url_hash.astype("uint64").astype(object)))
+    assert a == [tuple(x) for x in golden["golden_order"]]
+
+
+def test_fetch_retry_504(ray_session, corpus_and_seeds):
+    """The reference's 504-only bounded retry (M/MendeleyDocumentCrawler.java:72-87):
+    transient failures retry then succeed; persistent ones land status=504 with
+    the error recorded, never aborting the run."""
+    import ray.data as rd
+
+    from content_crawler_ray.stages.fetch import FetchDecode, TransientFetchError
+
+    corpus, seeds, corpus_path, _ = corpus_and_seeds
+
+    def flaky(image_id, attempts):
+        if image_id and image_id.endswith("1") and attempts < 2:
+            raise TransientFetchError("synthetic 504")
+        if image_id and image_id.endswith("2"):
+            raise TransientFetchError("permanent 504")
+
+    batch = pa.table(
+        {
+            "url": pa.array(
+                [f"http://h0.com/p/img-{i:012d}" for i in range(4)], pa.string()
+            ),
+            "url_hash": pa.array(np.arange(4, dtype=np.uint64), pa.uint64()),
+        }
+    )
+    stage = FetchDecode(corpus_path, flaky=flaky, max_retries=3)
+    out = stage(batch)
+    st = out["status"].to_pylist()
+    assert st[1] == 200  # retried through transient failures
+    assert st[2] == 504  # exhausted retries → recorded, not raised
+    assert out["error"].to_pylist()[2] == "permanent 504"
+    assert st[0] == 200 and st[3] == 200

@@ -1,0 +1,174 @@
+"""Pure-function kernels: hashing, URLs, codecs, dates, text, tags."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from content_crawler_ray.functions import codecs
+from content_crawler_ray.functions.dates import created_at
+from content_crawler_ray.functions.hashing import bucket_of, hash64_array, hash64_scalar
+from content_crawler_ray.functions.tags import parse_tags
+from content_crawler_ray.functions.text import (
+    char_shingles,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    quality_features,
+    simhash64,
+    token_counts,
+)
+from content_crawler_ray.functions.urls import (
+    canonicalize_array,
+    canonicalize_scalar,
+    host_of_array,
+    image_id_of_array,
+    image_id_of_scalar,
+)
+
+
+def test_hash_scalar_vs_vector():
+    strs = ["", "a", "hello world", "http://h.com/p/img-000000000001", "東京/💧", "x" * 300]
+    assert list(hash64_array(pa.array(strs))) == [hash64_scalar(s) for s in strs]
+
+
+def test_hash_buckets_stable():
+    h = hash64_array(pa.array(["a", "b", "c"]))
+    assert bucket_of(h, 8).tolist() == bucket_of(h, 8).tolist()
+    assert (bucket_of(h, 8) < 8).all()
+
+
+CANON_CASES = [
+    ("http://HOST.Example.com:80/p/x#frag", "http://host.example.com/p/x"),
+    ("https://h.com:443/x?b=2&a=1", "https://h.com/x?a=1&b=2"),
+    ("https://h.com/x?a=1&b=2", "https://h.com/x?a=1&b=2"),
+    ("http://h.com", "http://h.com/"),
+    ("http://h.com:8080/y", "http://h.com:8080/y"),
+    ("not a url", "not a url"),
+]
+
+
+def test_canonicalize_scalar_and_vector_agree():
+    urls = [u for u, _ in CANON_CASES]
+    vec = canonicalize_array(pa.array(urls)).to_pylist()
+    for (u, want), got in zip(CANON_CASES, vec):
+        assert canonicalize_scalar(u) == want
+        assert got == want
+
+
+def test_host_and_image_id_extraction():
+    urls = pa.array(
+        ["http://h0.com/p/img-000000000042", "http://H1.com:80/private/img-000000000001", "x"]
+    )
+    assert host_of_array(urls).to_pylist() == ["h0.com", "h1.com", ""]
+    assert image_id_of_array(urls).to_pylist() == [
+        "img-000000000042",
+        "img-000000000001",
+        None,
+    ]
+    assert image_id_of_scalar("http://h/p/img-000000000007") == "img-000000000007"
+
+
+@pytest.mark.parametrize("fmt", ["raw", "dctq"])
+@pytest.mark.parametrize("dims", [(16, 16), (37, 53), (128, 128)])
+def test_codec_roundtrip_psnr(fmt, dims):
+    w, h = dims
+    px = codecs.gen_pixels("img-000000000007", w, h)
+    dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt)
+    assert dec.shape == (h, w)
+    p = codecs.psnr(dec, px)
+    assert p >= 40.0  # per-row invariant (BASELINE.json)
+    if fmt == "raw":
+        assert np.array_equal(dec, px)
+
+
+def test_codec_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        codecs.decode(b"", 4, 4, "jpeg")
+    with pytest.raises(NotImplementedError):
+        codecs.encode(np.zeros((4, 4), np.uint8), "png")
+
+
+def test_phash_deterministic_and_sensitive():
+    a = codecs.gen_pixels("img-000000000001", 64, 48)
+    b = codecs.gen_pixels("img-000000000002", 64, 48)
+    assert codecs.phash64(a) == codecs.phash64(a)
+    assert codecs.hamming64(codecs.phash64(a), codecs.phash64(b)) > 4
+
+
+def test_created_at_clamp_by_addition():
+    # Feb 30 → Feb 1 + 29 days = Mar 2 (non-leap 2023), matching the
+    # reference's withMonth().plusDays() tolerance (T3)
+    out = created_at(np.array([2023]), np.array([2]), np.array([30]))
+    assert out[0] == "2023-03-02T00:00:00.000Z"
+    out = created_at(np.array([2024]), None, None)
+    assert out[0] == "2024-01-01T00:00:00.000Z"
+    out = created_at(np.array([2020]), np.array([2]), np.array([29]))
+    assert out[0] == "2020-02-29T00:00:00.000Z"
+
+
+def test_token_counts_matches_python():
+    texts = ["", "a b c", " lead", "trail ", "a  b", "單 字"]
+    got = token_counts(pa.array(texts)).to_pylist()
+    want = [len([t for t in s.split(" ") if t]) for s in texts]
+    assert got == want
+
+
+def test_quality_features_floor_semantics():
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["the a xyz", ""]})
+    out = quality_features(df)
+    assert out["n_tokens"].tolist() == [3, 0]
+    assert out["stop_ratio_e6"].tolist() == [666666, 0]
+    assert out["mean_tok_len_e3"].tolist() == [int(np.floor(1e3 * 7 / 3)), 0]
+
+
+def test_minhash_estimates_jaccard():
+    a, b = minhash_params(256)
+    s1 = char_shingles("the quick brown fox jumps over the lazy dog", 5)
+    s2 = char_shingles("the quick brown fox jumps over the lazy cat", 5)
+    true_j = jaccard(s1, s2)
+    est = (minhash_signature(s1, a, b) == minhash_signature(s2, a, b)).mean()
+    assert abs(est - true_j) < 0.15
+    assert (minhash_signature(s1, a, b) == minhash_signature(s1, a, b)).all()
+
+
+def test_simhash_similarity():
+    t1 = "alpha beta gamma delta epsilon zeta".split()
+    t2 = "alpha beta gamma delta epsilon eta".split()
+    t3 = "one two three four five six".split()
+    d_near = bin((simhash64(t1) ^ simhash64(t2)) & (2**64 - 1)).count("1")
+    d_far = bin((simhash64(t1) ^ simhash64(t3)) & (2**64 - 1)).count("1")
+    assert d_near < d_far
+    assert simhash64([]) == 0
+
+
+def test_parse_tags_all_families():
+    tags = pa.array(
+        [
+            "gbifDOI:10.5072/dl.7",
+            "peer_review:true",
+            "peer_review:false",
+            "open_access:true",
+            "gbifTaxon:212",
+            "gbifTaxon:notanumber",  # NumberFormat-tolerant → null
+            "gbifOccurrence:123456789",
+            "citation_type:journal",
+            "dk_biodiversity",
+            "US",
+            "citizen science",
+            "complete junk ###",
+        ]
+    )
+    t = parse_tags(tags)
+    assert t["doi"].to_pylist()[0] == "10.5072/dl.7"
+    assert t["peer_review"].to_pylist()[:3] == [False, True, False]
+    assert t["open_access"].to_pylist()[3] is True
+    assert t["taxon_key"].to_pylist()[4] == 212
+    assert t["taxon_key"].to_pylist()[5] is None
+    assert t["occurrence_key"].to_pylist()[6] == 123456789
+    assert t["citation_type"].to_pylist()[7] == "journal"
+    assert t["country_coverage"].to_pylist()[8] == "DK"
+    assert t["country_researcher"].to_pylist()[9] == "US"
+    assert t["topic"].to_pylist()[10] == "CITIZEN_SCIENCE"
+    assert all(v is None for v in t["doi"].to_pylist()[1:])

@@ -1,0 +1,141 @@
+"""Dedup / ANN / multimodal pipeline behavior on controlled inputs, plus the
+oracle parity harness over the fast SQL-twin queries at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_minhash_finds_planted_neardups(ray_session, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain falls softly "
+        "on the quiet meadow beyond the old stone wall near the river bend"
+    )
+    near = base.replace("river bend", "river fork")  # high-jaccard near-dup
+    far = "completely different content about spacecraft telemetry and orbital mechanics"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([base, near, far, base], pa.string()),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+
+    from content_crawler_ray.pipelines.dedup import minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(path, threshold=0.7).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (1, 2) in got  # near-dup found
+    assert (1, 4) in got  # exact dup found (jaccard 1.0)
+    assert not any(3 in p for p in got)  # unrelated doc untouched
+    exact = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 4)]
+    assert exact.jaccard_e3.iloc[0] == 1000
+
+
+def test_exact_dedup_first(ray_session):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.dedup import exact_dedup_first
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+                "text": pa.array(["x", "x", "y", "x"], pa.string()),
+            }
+        )
+    )
+    out = exact_dedup_first(ds).to_pandas().sort_values("doc_id")
+    assert out.doc_id.tolist() == [3, 9]
+
+
+def test_ann_topk_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.Generator(np.random.PCG64(5))
+    n, d = 200, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 4).astype(np.int32), pa.int32()),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+
+    from content_crawler_ray.pipelines.ann import ann_topk
+
+    got = ann_topk(path, n_queries=3, k=5).to_pandas()
+    md = m.astype(np.float64)
+    md = md / np.linalg.norm(md, axis=1, keepdims=True)
+    sims = md[:3] @ md.T
+    for q in range(3):
+        want = np.lexsort((np.arange(n), -sims[q]))[:5].tolist()
+        have = got[got.query_id == q].vec_id.tolist()
+        assert sorted(have) == sorted(want)
+
+
+def test_multimodal_decode_stage(ray_session):
+    from content_crawler_ray.sources import synth
+    from content_crawler_ray.stages.multimodal import DecodeStats, ResizeStage, decode_image, sample_frames
+
+    corpus = synth.make_corpus(20)
+    stats = DecodeStats()(corpus)
+    assert stats.num_rows == 20
+    assert all(stats["phash_ok"].to_pylist())
+    assert min(stats["psnr_e3"].to_pylist()) >= 40_000
+
+    thumbs = ResizeStage(16)(corpus)
+    assert thumbs["thumb_w"].to_pylist() == [16] * 20
+    assert all(len(t) == 256 for t in thumbs["thumb"].to_pylist())
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 2, 2, "jpeg")
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"", "mp4")
+
+
+FAST_ORACLE_QUERIES = [
+    "q_t1_rename",
+    "q_t2_normalize",
+    "q_t3_created_at",
+    "q_t4_tag_dispatch",
+    "q_t5_controlled_terms",
+    "q_t13_prefix_filter",
+    "q_j1_orders_customer",
+    "q_j2_semi_join",
+    "q_j3_two_hop",
+    "q_a3_collect_set",
+    "q_a7_topk_users",
+    "q_sort_limit",
+    "q_groupby_events",
+    "q_dedup_exact_stats",
+    "q_embed_neardup",
+    "q_ann_topk",
+    "q_text_token_count",
+    "q_text_quality",
+]
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
+def test_query_matches_duckdb_oracle(ray_session, sf_dir, name):
+    import duckdb
+
+    from content_crawler_ray.pipelines.queries import QUERIES
+    from tools.check_oracle import canon, to_pandas
+
+    fn, sql = QUERIES[name]
+    got = canon(to_pandas(fn(sf_dir)))
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    exp = canon(con.sql(sql).df())
+    assert len(got) == len(exp)
+    assert list(got.columns) == list(exp.columns)
+    assert got.astype(str).equals(exp.astype(str))

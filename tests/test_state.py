@@ -1,0 +1,64 @@
+"""Stateful layer: cuckoo/bloom filters (pure) and seen/politeness actors."""
+
+import numpy as np
+
+from content_crawler_ray.state.cuckoo import BloomFilter, CuckooFilter
+
+
+def test_cuckoo_no_false_negatives():
+    rng = np.random.Generator(np.random.PCG64(1))
+    keys = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    keys = np.unique(keys)
+    cf = CuckooFilter(capacity=40_000)
+    cf.insert(keys)
+    assert cf.contains(keys).all()
+    other = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    other = np.setdiff1d(other, keys)
+    fp = cf.contains(other).mean()
+    assert fp < 0.01  # 16-bit fingerprints → ~2^-13 expected
+
+
+def test_bloom_filter():
+    rng = np.random.Generator(np.random.PCG64(2))
+    keys = np.unique(rng.integers(0, 2**63, size=10_000, dtype=np.uint64))
+    bf = BloomFilter(capacity=20_000, fp_rate=1e-4)
+    bf.insert(keys)
+    assert bf.contains(keys).all()
+    other = np.setdiff1d(rng.integers(0, 2**63, size=10_000, dtype=np.uint64), keys)
+    assert bf.contains(other).mean() < 0.01
+
+
+def test_seen_set_sharded(ray_session):
+    from content_crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet.create(3)
+    rng = np.random.Generator(np.random.PCG64(3))
+    keys = np.unique(rng.integers(0, 2**64, size=5_000, dtype=np.uint64))
+    assert not seen.contains(keys).any()
+    mask = seen.contains_and_insert(keys)
+    assert not mask.any()
+    assert seen.contains(keys).all()
+    assert seen.size() == len(keys)
+    # duplicates within a batch: first occurrence wins
+    dup = np.concatenate([keys[:5], keys[:5]])
+    assert seen.contains_and_insert(dup).all()
+    # snapshot → restore round trip
+    parts = seen.snapshot()
+    seen2 = SeenSet.create(3)
+    seen2.restore(parts)
+    assert seen2.contains(keys).all()
+    assert seen2.size() == len(keys)
+
+
+def test_politeness_reserve(ray_session):
+    from content_crawler_ray.state.politeness import Politeness
+
+    pol = Politeness.create(2)
+    assert pol.reserve("h0", 3) == 0
+    assert pol.reserve("h0", 2) == 3
+    bases = pol.reserve_many(["h0", "h1", "h2"], [1, 4, 2])
+    assert bases == {"h0": 5, "h1": 0, "h2": 0}
+    snap = pol.snapshot()
+    pol2 = Politeness.create(2)
+    pol2.restore(snap)
+    assert pol2.reserve("h1", 1) == 4
