@@ -1,0 +1,115 @@
+"""CLI — the engine's analog of the reference's picocli entry point
+(ContentCrawlerMain.java:14-37 with mendeley-crawl / contentful-crawl /
+contentful-backup subcommands), dataclass-config driven.
+
+Owns its Ray session (library code never calls ray.init):
+  python -m content_crawler_ray.cli crawl  --corpus C.parquet --seeds S.parquet --out OUT
+  python -m content_crawler_ray.cli synth  --n-corpus 5000 --n-seeds 10000 --out-dir DIR
+  python -m content_crawler_ray.cli query  --name q_a7_topk_users --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_crawl(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import pyarrow.parquet as pq
+
+    from .config import CrawlConfig
+    from .pipelines.crawl import run_crawl
+
+    seeds = pq.read_table(args.seeds)
+    cfg = CrawlConfig(
+        wave_size=args.wave_size,
+        host_budget=args.host_budget,
+        max_waves=args.max_waves,
+        resume=args.resume,
+    )
+    res = run_crawl(args.corpus, seeds, args.out, cfg)
+    print(json.dumps({"n_waves": res["n_waves"], "seen": res["seen_size"], "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .sources import synth
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    pq.write_table(synth.make_corpus(args.n_corpus), os.path.join(args.out_dir, "corpus.parquet"))
+    pq.write_table(
+        synth.make_seeds(args.n_seeds, args.n_corpus), os.path.join(args.out_dir, "seeds.parquet")
+    )
+    print(json.dumps({"corpus": args.n_corpus, "seeds": args.n_seeds, "dir": args.out_dir}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.queries import QUERIES
+
+    fn, _sql = QUERIES[args.name]
+    out = fn(args.sf_dir)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    print(df.head(args.limit).to_string())
+    print(f"... {len(df)} rows")
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="content_crawler_ray")
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--seeds", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--wave-size", type=int, default=10_000)
+    c.add_argument("--host-budget", type=int, default=4)
+    c.add_argument("--max-waves", type=int, default=32)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("synth", help="generate a deterministic corpus + seeds")
+    s.add_argument("--n-corpus", type=int, default=500)
+    s.add_argument("--n-seeds", type=int, default=1000)
+    s.add_argument("--out-dir", required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    q = sub.add_parser("query", help="run one registry query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

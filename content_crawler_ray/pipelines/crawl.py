@@ -53,7 +53,6 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -61,8 +60,8 @@ from ..config import CrawlConfig
 from ..functions.hashing import hash64_array
 from ..functions.urls import canonicalize_array, host_of_array
 from ..sources import tableio
-from ..stages.fetch import FetchDecode
-from ..stages.links import FRONTIER_SCHEMA, ExtractLinks
+from ..stages.fetch import count_status, fetch_write_links_fn
+from ..stages.links import FRONTIER_SCHEMA
 from ..state.politeness import Politeness, robots_allowed_mask
 from ..state.seen import SeenSet
 
@@ -106,8 +105,12 @@ def _filter_not_in(ds: rd.Dataset, hashes_ref) -> rd.Dataset:
 
 
 def _collect(ds: rd.Dataset, schema: pa.Schema | None = None) -> pa.Table:
-    """Materialize a (bounded, control-plane) dataset to one Arrow table."""
-    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    """Materialize a (bounded, control-plane) dataset to one Arrow table.
+
+    materialize() FIRST: calling ``to_arrow_refs()`` on a lazy dataset
+    executes the plan twice (observed on ray 2.49 — 2× side effects), which
+    would double-run side-effecting stages like the fused fetch+spool."""
+    tbls = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not tbls:
         return (schema or FRONTIER_SCHEMA).empty_table()
     return pa.concat_tables(tbls, promote_options="default").combine_chunks()
@@ -162,6 +165,7 @@ def run_crawl(
     seeds: rd.Dataset | pa.Table,
     out_dir: str,
     cfg: CrawlConfig | None = None,
+    corpus_ref=None,
 ) -> dict:
     """Run the crawl to frontier exhaustion (or wave budget). Returns summary
     metrics; fetched rows land under ``out_dir/wave=<n>/``."""
@@ -172,6 +176,14 @@ def run_crawl(
 
     seen = SeenSet.create(cfg.n_seen_shards)
     politeness = Politeness.create(cfg.n_politeness_shards)
+
+    # broadcast the corpus ONCE (zero-copy Arrow in plasma); every fetch task
+    # of every wave reads the same buffers instead of re-parsing the parquet.
+    # Callers that already hold the corpus in the object store pass corpus_ref.
+    if corpus_ref is None:
+        import pyarrow.parquet as pq
+
+        corpus_ref = ray.put(pq.read_table(corpus_path))
 
     start_wave = 0
     frontier = None
@@ -216,48 +228,47 @@ def run_crawl(
         # lazy deletion: every frontier row sharing a wave hash is dropped
         rest = _filter_not_in(frontier, ray.put(wave_hashes))
 
+        t_sort = time.time() - t0
+
         # ---- 2-3. control plane: robots / seen / politeness ----------------
+        t1 = time.time()
         granted, denied, counters = _grant_wave(
             wave_tbl, seen, politeness, cfg.host_budget, wave_no
         )
 
+        t_grant = time.time() - t1
+
         # ---- 4. data plane: fetch + decode (actor pool), spool wave --------
         links_tbl = FRONTIER_SCHEMA.empty_table()
         ok_n = 0
+        t_fetch = t_write = t_links = 0.0
+        t1 = time.time()
         if granted.num_rows:
-            fetched = (
-                rd.from_arrow(granted)
-                .map_batches(
-                    FetchDecode,
-                    fn_constructor_kwargs=dict(corpus_path=corpus_path),
-                    batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
-                    concurrency=(1, cfg.fetch_concurrency),
-                    num_cpus=1,
-                )
-                .materialize()
-            )
+            # fused streaming pass (task-form): fetch+decode each batch, spool
+            # it straight to its own parquet part in the wave dir, and emit
+            # ONLY the link rows — the 30 KB/row payloads never enter the
+            # object store (see stages/fetch.py::fetch_write_links_fn)
             wdir = tableio.wave_data_dir(out_dir, wave_no)
             if os.path.isdir(wdir):  # uncommitted partial from a crashed run
                 shutil.rmtree(wdir)
-            fetched.write_parquet(wdir)
-
-            # ---- 5. discovery: links → canonical frontier candidates -------
+            os.makedirs(wdir, exist_ok=True)
+            n_blocks = max(1, granted.num_rows // cfg.fetch_batch_size)
             links_tbl = _collect(
-                fetched.map_batches(ExtractLinks(cfg.max_depth), batch_format="pyarrow")
+                rd.from_arrow(granted)
+                .repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
+                .map_batches(
+                    fetch_write_links_fn(corpus_ref, wdir, cfg.max_depth),
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                )
             )
-            ok_n = int(
-                pc.sum(
-                    pc.equal(
-                        _collect(
-                            fetched.select_columns(["status"]),
-                            pa.schema([("status", pa.int32())]),
-                        )["status"],
-                        200,
-                    )
-                ).as_py()
-                or 0
-            )
+            t_fetch = time.time() - t1
+            t1 = time.time()
+            # column-pruned status scan of the spooled wave (metrics only)
+            ok_n = count_status(wdir, 200)
+            t_write = time.time() - t1
+            t1 = time.time()
+
             if links_tbl.num_rows:
                 # dedup within discovery + drop already-seen (K-bounded table)
                 ldf = links_tbl.to_pandas()
@@ -270,8 +281,11 @@ def run_crawl(
                     FRONTIER_SCHEMA
                 )
 
+        t_links = time.time() - t1
+
         # ---- 6. frontier update: rest ∪ denied ∪ links (no dedup shuffle —
         # lazy-deletion PQ; duplicates resolve at a later wave's selection) ---
+        t1 = time.time()
         new_frontier = rest
         extra = pa.concat_tables(
             [denied, links_tbl] if links_tbl.num_rows else [denied]
@@ -288,6 +302,12 @@ def run_crawl(
             frontier_after=frontier.count(),
             seen_size=seen.size(),
             duration_s=round(time.time() - t0, 3),
+            t_sort=round(t_sort, 3),
+            t_grant=round(t_grant, 3),
+            t_fetch=round(t_fetch, 3),
+            t_write=round(t_write, 3),
+            t_links=round(t_links, 3),
+            t_union=round(time.time() - t1, 3),
         )
         metrics.append(m)
 

@@ -694,35 +694,45 @@ def q_text_fingerprint(sf_dir: str):
 # Flagship crawl + image pipeline (rows-only: stateful multi-wave run)
 # --------------------------------------------------------------------------
 
-_SF_TIERS = {  # FIXTURES.md F6 scale points keyed by sf directory name
-    "sf0.001": (500, 1_000),
-    "sf0.01": (5_000, 10_000),
-    "sf0.1": (50_000, 200_000),
+_SF_TIERS = {  # FIXTURES.md F6 scale points: (corpus, seeds, min_dim, max_dim).
+    # Correctness tiers use small images (fast oracles); the bench tier uses
+    # realistic dims so fetch/decode is compute-bound like a real image crawl.
+    "sf0.001": (500, 1_000, 16, 128),
+    "sf0.01": (5_000, 10_000, 16, 128),
+    "sf0.1": (50_000, 200_000, 64, 256),
 }
 
 
-def crawl_tier(sf_dir: str) -> tuple[int, int]:
+def crawl_tier(sf_dir: str) -> tuple[int, int, int, int]:
     name = os.path.basename(os.path.normpath(sf_dir))
-    return _SF_TIERS.get(name, (500, 1_000))
+    return _SF_TIERS.get(name, (500, 1_000, 16, 128))
 
 
-def _ensure_corpus(n_corpus: int, tmp_root: str = "/tmp/ccray") -> str:
+def _ensure_corpus(
+    n_corpus: int, min_dim: int = 16, max_dim: int = 128, tmp_root: str = "/tmp/ccray"
+) -> str:
     """Synthesize (once) and cache the corpus parquet for a tier."""
     import pyarrow.parquet as pq
 
     from ..sources import synth
 
-    path = os.path.join(tmp_root, f"corpus_{n_corpus}.parquet")
+    path = os.path.join(tmp_root, f"corpus_{n_corpus}_{min_dim}_{max_dim}.parquet")
     if not os.path.exists(path):
         os.makedirs(tmp_root, exist_ok=True)
         n_shards = max(1, n_corpus // 2000)
         bounds = np.linspace(0, n_corpus, n_shards + 1, dtype=int)
         shards = (
             rd.from_items(
-                [{"lo": int(lo), "hi": int(hi)} for lo, hi in zip(bounds[:-1], bounds[1:])]
+                [{"lo": int(lo), "hi": int(hi)} for lo, hi in zip(bounds[:-1], bounds[1:])],
+                # one block per shard — from_items defaults to a single block,
+                # which would serialize the whole synthesis into one task
+                override_num_blocks=n_shards,
             )
             .map_batches(
-                lambda b: synth.corpus_rows(int(b["lo"][0]), int(b["hi"][0]), n_corpus),
+                lambda b: synth.corpus_rows(
+                    int(b["lo"][0]), int(b["hi"][0]), n_corpus,
+                    min_dim=min_dim, max_dim=max_dim,
+                ),
                 batch_size=1,
                 batch_format="pandas",
             )
@@ -746,16 +756,16 @@ def run_flagship(sf_dir: str, out_dir: str | None = None):
     from ..sources import synth
     from .crawl import read_fetched, run_crawl
 
-    n_corpus, n_seeds = crawl_tier(sf_dir)
-    corpus_path = _ensure_corpus(n_corpus)
+    n_corpus, n_seeds, min_dim, max_dim = crawl_tier(sf_dir)
+    corpus_path = _ensure_corpus(n_corpus, min_dim, max_dim)
     seeds = synth.make_seeds(n_seeds, n_corpus)
     out = out_dir or tempfile.mkdtemp(prefix="crawl_", dir="/tmp/ccray")
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(
-        wave_size=max(1000, n_seeds // 4),
-        host_budget=max(16, n_seeds // 100),
+        wave_size=max(1000, n_seeds // 2),
+        host_budget=max(16, n_seeds // 10),
         max_waves=24,
-        fetch_concurrency=4,
+        fetch_concurrency=16,
         checkpoint=False,
     )
     run_crawl(corpus_path, seeds, out, cfg)
@@ -779,12 +789,10 @@ def q_image_stats(sf_dir: str):
     aggregate stats (rows-only — decode is not SQL-expressible)."""
     from ..stages.multimodal import DecodeStats
 
-    n_corpus, _ = crawl_tier(sf_dir)
-    corpus_path = _ensure_corpus(n_corpus)
+    n_corpus, _, min_dim, max_dim = crawl_tier(sf_dir)
+    corpus_path = _ensure_corpus(n_corpus, min_dim, max_dim)
     ds = rd.read_parquet(corpus_path)
-    stats = ds.map_batches(
-        DecodeStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 4), num_cpus=1
-    )
+    stats = ds.map_batches(DecodeStats(), batch_format="pyarrow", batch_size=512)
     return stats.groupby("fmt").aggregate(
         Count(alias_name="n"),
         Sum("w", alias_name="sum_w"),
@@ -828,3 +836,44 @@ QUERIES: dict[str, tuple] = {
     "q_crawl_flagship": (q_crawl_flagship, None),
     "q_image_stats": (q_image_stats, None),
 }
+
+
+# --------------------------------------------------------------------------
+# S2 — offset/limit pager with precomputed offsets (embarrassingly parallel)
+# --------------------------------------------------------------------------
+
+def q_s2_key_paged(sf_dir: str):
+    from ..sources.paged import read_key_paged
+
+    n_docs = 500  # documents table is fixed-size across sf tiers
+    return read_key_paged(
+        _p(sf_dir, "documents"), key="doc_id", n_keys=n_docs, page_size=20,
+        columns=["doc_id"],
+    )
+
+
+SQL_S2 = """
+SELECT doc_id, CAST(floor(doc_id / 20) AS BIGINT) AS page FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# T7-ish — nested/JSON property extraction (EsDocBuilder field projection)
+# --------------------------------------------------------------------------
+
+def q_t7_props_extract(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        parsed = pc.extract_regex(b["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(parsed, "k"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_T7 = """
+SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events
+"""
+
+QUERIES["q_s2_key_paged"] = (q_s2_key_paged, SQL_S2)
+QUERIES["q_t7_props_extract"] = (q_t7_props_extract, SQL_T7)

@@ -61,17 +61,33 @@ def make_caption(rng: np.random.Generator, n_corpus: int, hot: np.ndarray) -> st
     return " ".join(toks)
 
 
-def corpus_rows(start: int, stop: int, n_corpus: int, seed: int = 42) -> pa.Table:
+def corpus_rows(
+    start: int,
+    stop: int,
+    n_corpus: int,
+    seed: int = 42,
+    min_dim: int = 16,
+    max_dim: int = 128,
+) -> pa.Table:
     """Corpus rows [start, stop) — independently generatable per shard, so the
-    corpus builds distributed (ray.data.range → map_batches(corpus_rows))."""
+    corpus builds distributed (ray.data.range → map_batches(corpus_rows)).
+
+    ``min_dim``/``max_dim`` size the images: small defaults keep unit tests
+    fast; the bench tier uses realistic dims so the fetch/decode stage is
+    compute-bound like a real image crawl. The default path draws the exact
+    same RNG sequence as always (golden outputs are dim-stable)."""
     hot = _host_probs()
+    span = max_dim - min_dim + 1
     ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
     for i in range(start, stop):
         image_id = f"img-{i:012d}"
         rng = np.random.Generator(np.random.PCG64((hash64_scalar(image_id) ^ seed) & 0xFFFFFFFF))
-        w = int(16 + rng.integers(0, 113) ** 1.0 * (0.3 if rng.random() < 0.7 else 1.0))
-        w = max(16, min(128, w))
-        h = max(16, min(128, int(16 + rng.integers(0, 113) * (0.3 if rng.random() < 0.7 else 1.0))))
+        w = int(min_dim + rng.integers(0, span) * (0.3 if rng.random() < 0.7 else 1.0))
+        w = max(min_dim, min(max_dim, w))
+        h = max(
+            min_dim,
+            min(max_dim, int(min_dim + rng.integers(0, span) * (0.3 if rng.random() < 0.7 else 1.0))),
+        )
         fmt = "dctq" if rng.random() < 0.2 else "raw"
         pixels = codecs.gen_pixels(image_id, w, h)
         data = codecs.encode(pixels, fmt)
@@ -99,8 +115,10 @@ def corpus_rows(start: int, stop: int, n_corpus: int, seed: int = 42) -> pa.Tabl
     )
 
 
-def make_corpus(n_rows: int, seed: int = 42) -> pa.Table:
-    return corpus_rows(0, n_rows, n_rows, seed)
+def make_corpus(
+    n_rows: int, seed: int = 42, min_dim: int = 16, max_dim: int = 128
+) -> pa.Table:
+    return corpus_rows(0, n_rows, n_rows, seed, min_dim, max_dim)
 
 
 def make_seeds(n_urls: int, n_corpus: int, seed: int = 42, n_hosts: int = N_HOSTS) -> pa.Table:

@@ -102,3 +102,55 @@ def read_checkpoint(out_dir: str, wave: int):
     with open(os.path.join(d, "politeness.json")) as f:
         politeness_states = json.load(f)
     return manifest, (fdir if has_frontier else None), seen_parts, politeness_states
+
+
+# --------------------------------------------------------------------------
+# Keyed upsert sink — K2/K3 analog (the reference's ES bulk index with
+# _id = document.id last-write-wins, M/ElasticSearchIndexHandler.java:200-232;
+# C/ContentTypeCrawler.java:113-135). A bucketed Parquet table keyed on a
+# column: hash-partitioned into B bucket files, upsert = per-bucket merge
+# keeping the LAST write per key, written to a temp file and renamed
+# (atomic per bucket, idempotent on replay).
+# --------------------------------------------------------------------------
+
+
+def _bucket_path(table_dir: str, bucket: int) -> str:
+    return os.path.join(table_dir, f"bucket_{bucket:04d}.parquet")
+
+
+def upsert_parquet(new_rows: pa.Table, table_dir: str, key: str, n_buckets: int = 16) -> None:
+    """Merge-on-key upsert: later rows (within this call, input order) and this
+    call's rows (vs existing) win. Sandbox impl runs buckets in a loop; the
+    distributed path maps the same per-bucket merge over a bucket-id Dataset."""
+    import pandas as pd
+
+    from ..functions.hashing import hash64_array
+
+    os.makedirs(table_dir, exist_ok=True)
+    if new_rows.num_rows == 0:
+        return
+    kcol = new_rows[key]
+    if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+        hashes = hash64_array(kcol)
+    else:
+        hashes = kcol.to_numpy(zero_copy_only=False).astype(np.uint64)
+    buckets = (hashes % np.uint64(n_buckets)).astype(np.int64)
+    for b in np.unique(buckets):
+        part = new_rows.filter(pa.array(buckets == b))
+        path = _bucket_path(table_dir, int(b))
+        if os.path.exists(path):
+            merged = pa.concat_tables([pq.read_table(path), part], promote_options="default")
+        else:
+            merged = part
+        df = merged.to_pandas().drop_duplicates(key, keep="last")
+        out = pa.Table.from_pandas(df, preserve_index=False).cast(merged.schema)
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+
+
+def read_upsert_table(table_dir: str) -> pa.Table:
+    files = sorted(
+        os.path.join(table_dir, f) for f in os.listdir(table_dir) if f.endswith(".parquet")
+    )
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")

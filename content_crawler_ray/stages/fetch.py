@@ -1,21 +1,31 @@
 """Fetch + decode stage — the engine's analog of the reference's page fetch
-(S1 M/MendeleyPager.java:102-130) fused with response handling, as an
-actor-pool ``map_batches`` stage over zero-copy Arrow.
+(S1 M/MendeleyPager.java:102-130) fused with response handling, over zero-copy
+Arrow batches.
 
 "Network" = lookup of the URL's ``img-<n>`` tail against the corpus table
-(SURVEY.md J6). The corpus side is opened ONCE per actor in ``__init__``
-(ST1-pattern: state per worker, not per batch); per batch the probe is a
-vectorized hash-dict gather. At the 10^10 design point the corpus is bucketed
-by ``hash(image_id) % B`` and an actor lazily loads + LRU-caches only the
-buckets its batches touch; in-sandbox corpora fit in one shot.
+(SURVEY.md J6). The corpus ships as ONE object-store broadcast (``ray.put``
+on the driver, zero-copy ``ray.get`` per worker — Arrow buffers live in
+plasma, shared across all workers on a node) and is memoized per WORKER
+PROCESS in a module-level cache. The stage therefore runs as plain
+``map_batches`` **tasks**, not an actor pool: Ray reuses worker processes
+across waves, so the id→row index is built once per worker for the whole
+crawl, while task scheduling reaches full parallelism instantly (an actor
+pool would re-spawn + re-warm per wave and ramp up from 1). This is the
+broadcast-join pattern from the Ray Data join guidance; the actor-pool
+variant (``FetchDecode`` class below) remains for stages that must hold
+non-shareable state (sessions, sockets, GPU handles).
+
+At the 10^10 design point the broadcast becomes a corpus bucketed by
+``hash(image_id) % B`` with per-worker lazy bucket loads (or a full hash
+join when the probe side is comparable in size) — same batch kernel.
 
 Per 200-row: decode via the pure-numpy codec, PSNR vs the deterministic
 original (invariant: ≥ 40 dB for lossy ``dctq``), recompute phash and compare
 with the corpus column (``phash_ok``). Retry semantics mirror the reference's
 504-only policy (M/MendeleyDocumentCrawler.java:72-87): an injectable
-``flaky`` hook raises TransientFetchError; we retry up to ``max_retries``
-then record the failure in the ``error`` column (poison rows never abort the
-run — SURVEY.md §4).
+``flaky`` hook raises TransientFetchError; retries up to ``max_retries`` then
+records the failure in the ``error`` column (poison rows never abort the run
+— SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -27,91 +37,191 @@ from ..functions import codecs
 
 FETCH_MAX_RETRIES = 3
 
+# worker-process-local corpus cache: {object-ref bytes: (table, index)}
+_WORKER_CORPUS_CACHE: dict = {}
+
 
 class TransientFetchError(RuntimeError):
     """Analog of the reference's GatewayTimeoutException (504)."""
 
 
-class FetchDecode:
-    """map_batches(FetchDecode, fn_constructor_kwargs=..., concurrency=N)."""
+def _corpus_state(corpus_ref):
+    import ray
 
-    def __init__(self, corpus_path: str, flaky=None, max_retries: int = FETCH_MAX_RETRIES):
-        import pyarrow.parquet as pq
+    key = corpus_ref.binary()
+    st = _WORKER_CORPUS_CACHE.get(key)
+    if st is None:
+        tbl = ray.get(corpus_ref).combine_chunks()  # zero-copy from plasma
+        index = {s: i for i, s in enumerate(tbl["image_id"].to_pylist())}
+        _WORKER_CORPUS_CACHE.clear()  # hold at most one corpus per worker
+        _WORKER_CORPUS_CACHE[key] = st = (tbl, index)
+    return st
 
-        tbl = pq.read_table(corpus_path)
-        self._corpus = tbl
-        ids = tbl["image_id"].to_pylist()
-        self._index = {s: i for i, s in enumerate(ids)}
-        self._bytes = tbl["bytes"].to_pylist()
-        self._w = tbl["w"].to_numpy()
-        self._h = tbl["h"].to_numpy()
-        self._fmt = tbl["fmt"].to_pylist()
-        self._caption = tbl["caption"].to_pylist()
-        self._phash = tbl["phash"].to_numpy()
-        self._flaky = flaky
-        self._max_retries = max_retries
 
-    def _fetch_one(self, image_id: str | None):
-        """One corpus probe with the bounded 504-style retry loop."""
+def fetch_decode_fn(corpus_ref, max_retries: int = FETCH_MAX_RETRIES):
+    """Task-form fetch stage: ``map_batches(fetch_decode_fn(ref))``."""
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        tbl, index = _corpus_state(corpus_ref)
+        return process_fetch_batch(batch, tbl, index, None, max_retries)
+
+    return fetch
+
+
+def process_fetch_batch(
+    batch: pa.Table, tbl: pa.Table, index: dict, flaky, max_retries: int
+) -> pa.Table:
+    from ..functions.urls import image_id_of_array
+
+    def probe(image_id: str | None):
         attempts = 0
         while True:
             try:
-                if self._flaky is not None:
-                    self._flaky(image_id, attempts)
-                if image_id is None or image_id not in self._index:
-                    return None, 404, None
-                return self._index[image_id], 200, None
+                if flaky is not None:
+                    flaky(image_id, attempts)
+                row = index.get(image_id) if image_id else None
+                return (row, 200, None) if row is not None else (None, 404, None)
             except TransientFetchError as e:
                 attempts += 1
-                if attempts > self._max_retries:
-                    return None, 504, str(e)
+                if attempts > max_retries:
+                    return (None, 504, str(e))
+
+    image_ids = image_id_of_array(batch["url"]).to_pylist()
+    n = len(batch)
+    status = np.zeros(n, dtype=np.int32)
+    errors: list[str | None] = [None] * n
+    rows: list[int] = []
+    hit_pos: list[int] = []
+    for i, iid in enumerate(image_ids):
+        row, st, err = probe(iid)
+        status[i] = st
+        errors[i] = err
+        if row is not None:
+            rows.append(row)
+            hit_pos.append(i)
+
+    # vectorized gather of all hit rows in one take
+    hits = tbl.take(pa.array(rows, pa.int64()))
+    hw = hits["w"].to_numpy(zero_copy_only=False)
+    hh = hits["h"].to_numpy(zero_copy_only=False)
+    hfmt = hits["fmt"].to_pylist()
+    hbytes = hits["bytes"].to_pylist()
+    hcap = hits["caption"].to_pylist()
+    hphash = hits["phash"].to_numpy(zero_copy_only=False)
+
+    blobs: list[bytes | None] = [None] * n
+    ws = np.zeros(n, dtype=np.int32)
+    hs = np.zeros(n, dtype=np.int32)
+    fmts: list[str | None] = [None] * n
+    caps: list[str | None] = [None] * n
+    psnrs = np.full(n, np.nan)
+    phashes = np.zeros(n, dtype=np.int64)
+    phok = np.zeros(n, dtype=bool)
+    for j, i in enumerate(hit_pos):
+        w, h, fmt = int(hw[j]), int(hh[j]), hfmt[j]
+        decoded = codecs.decode(hbytes[j], w, h, fmt)
+        orig = codecs.gen_pixels(image_ids[i], w, h)
+        psnrs[i] = codecs.psnr(decoded, orig)
+        ph = codecs.phash64(decoded)
+        phashes[i] = ph
+        phok[i] = ph == int(hphash[j])
+        blobs[i] = hbytes[j]
+        ws[i], hs[i] = w, h
+        fmts[i] = fmt
+        caps[i] = hcap[j]
+
+    out = batch
+    for name, arr in (
+        ("image_id", pa.array(image_ids, pa.string())),
+        ("status", pa.array(status, pa.int32())),
+        ("bytes", pa.array(blobs, pa.binary())),
+        ("w", pa.array(ws, pa.int32())),
+        ("h", pa.array(hs, pa.int32())),
+        ("fmt", pa.array(fmts, pa.string())),
+        ("caption", pa.array(caps, pa.string())),
+        ("psnr", pa.array(psnrs, pa.float64())),
+        ("phash", pa.array(phashes, pa.int64())),
+        ("phash_ok", pa.array(phok, pa.bool_())),
+        ("error", pa.array(errors, pa.string())),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+def fetch_write_links_fn(corpus_ref, wave_dir: str, max_depth: int,
+                         max_retries: int = FETCH_MAX_RETRIES):
+    """Fused streaming stage: fetch+decode a batch, spool it to its own
+    Parquet part file in ``wave_dir`` (tmp + atomic rename, the K1 spool
+    pattern — one file per block, exactly what Dataset.write_parquet does
+    under the hood), and emit only the extracted link rows downstream.
+
+    Fusing the three passes (fetch → write → link-extract) into one task
+    keeps the image payloads OUT of the object store entirely — they go
+    worker → disk once, and only the tiny link table flows on. This is the
+    difference between moving ~30 KB/row through plasma three times and
+    zero times; at 10^10 scale it is the difference between a crawl and a
+    shuffle storm."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from .links import ExtractLinks
+
+    extract = ExtractLinks(max_depth)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tbl, index = _corpus_state(corpus_ref)
+        fetched = process_fetch_batch(batch, tbl, index, None, max_retries)
+        path = os.path.join(wave_dir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(fetched, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return extract(fetched)
+
+    return fn
+
+
+def count_status(wave_dir: str, code: int = 200) -> int:
+    """Column-pruned scan of the spooled wave (reads ONLY the status column)."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(os.path.join(wave_dir, "part-*.parquet")):
+        t = pq.read_table(f, columns=["status"])
+        n += int(pc.sum(pc.equal(t["status"], code)).as_py() or 0)
+    return n
+
+
+class FetchDecode:
+    """Actor-pool form of the stage (state warmed once per actor in __init__);
+    used directly in tests and wherever flaky-injection / non-shareable state
+    is needed. The crawl's hot path uses ``fetch_decode_fn`` tasks instead."""
+
+    def __init__(
+        self,
+        corpus_path: str | None = None,
+        corpus_ref=None,
+        flaky=None,
+        max_retries: int = FETCH_MAX_RETRIES,
+    ):
+        if corpus_ref is not None:
+            import ray
+
+            tbl = ray.get(corpus_ref)
+        else:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(corpus_path)
+        self._tbl = tbl.combine_chunks()
+        self._index = {s: i for i, s in enumerate(self._tbl["image_id"].to_pylist())}
+        self._flaky = flaky
+        self._max_retries = max_retries
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.urls import image_id_of_array
-
-        image_ids = image_id_of_array(batch["url"]).to_pylist()
-        n = len(batch)
-        status = np.zeros(n, dtype=np.int32)
-        blobs: list[bytes | None] = [None] * n
-        ws = np.zeros(n, dtype=np.int32)
-        hs = np.zeros(n, dtype=np.int32)
-        fmts: list[str | None] = [None] * n
-        caps: list[str | None] = [None] * n
-        psnrs = np.full(n, np.nan)
-        phashes = np.zeros(n, dtype=np.int64)
-        phok = np.zeros(n, dtype=bool)
-        errors: list[str | None] = [None] * n
-        for i, iid in enumerate(image_ids):
-            row, st, err = self._fetch_one(iid)
-            status[i] = st
-            errors[i] = err
-            if row is None:
-                continue
-            data = self._bytes[row]
-            w, h, fmt = int(self._w[row]), int(self._h[row]), self._fmt[row]
-            decoded = codecs.decode(data, w, h, fmt)
-            orig = codecs.gen_pixels(iid, w, h)
-            psnrs[i] = codecs.psnr(decoded, orig)
-            ph = codecs.phash64(decoded)
-            phashes[i] = ph
-            phok[i] = ph == int(self._phash[row])
-            blobs[i] = data
-            ws[i], hs[i] = w, h
-            fmts[i] = fmt
-            caps[i] = self._caption[row]
-        out = batch
-        for name, arr in (
-            ("image_id", pa.array(image_ids, pa.string())),
-            ("status", pa.array(status, pa.int32())),
-            ("bytes", pa.array(blobs, pa.binary())),
-            ("w", pa.array(ws, pa.int32())),
-            ("h", pa.array(hs, pa.int32())),
-            ("fmt", pa.array(fmts, pa.string())),
-            ("caption", pa.array(caps, pa.string())),
-            ("psnr", pa.array(psnrs, pa.float64())),
-            ("phash", pa.array(phashes, pa.int64())),
-            ("phash_ok", pa.array(phok, pa.bool_())),
-            ("error", pa.array(errors, pa.string())),
-        ):
-            out = out.append_column(name, arr)
-        return out
+        return process_fetch_batch(
+            batch, self._tbl, self._index, self._flaky, self._max_retries
+        )
