@@ -311,6 +311,17 @@ def run_crawl(
         )
         metrics.append(m)
 
+        # lineage/metrics side table (A6; north-rule "lineage + fetch
+        # metrics"): one row per wave, append-only, readable as one dataset
+        import pyarrow.parquet as _pq
+
+        mdir = os.path.join(out_dir, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        _pq.write_table(
+            pa.Table.from_pylist([{k: (float(v) if isinstance(v, float) else v) for k, v in m.items()}]),
+            os.path.join(mdir, f"wave_{wave_no:05d}.parquet"),
+        )
+
         # ---- 7. checkpoint + commit ---------------------------------------
         if cfg.checkpoint:
             fdir = tableio.frontier_dir(out_dir, wave_no)

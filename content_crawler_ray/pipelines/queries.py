@@ -877,3 +877,109 @@ SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k 
 
 QUERIES["q_s2_key_paged"] = (q_s2_key_paged, SQL_S2)
 QUERIES["q_t7_props_extract"] = (q_t7_props_extract, SQL_T7)
+
+
+# --------------------------------------------------------------------------
+# T6 — country → GBIF region dimension lookup (broadcast dict)
+# --------------------------------------------------------------------------
+
+def q_t6_country_region(sf_dir: str):
+    from ..functions.geo import region_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        iso = pa.array(b["lang"].map(_LANG_ISO2).fillna("US"), pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "country": iso,
+                "gbif_region": region_of(iso),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_T6 = """
+WITH c AS (SELECT doc_id, CASE lang WHEN 'en' THEN 'US' WHEN 'de' THEN 'DE' WHEN 'fr' THEN 'FR'
+                                    WHEN 'es' THEN 'ES' WHEN 'zh' THEN 'CN' ELSE 'US' END AS country
+           FROM documents)
+SELECT doc_id, country,
+       CASE country WHEN 'US' THEN 'NORTH_AMERICA' WHEN 'DE' THEN 'EUROPE'
+                    WHEN 'FR' THEN 'EUROPE' WHEN 'ES' THEN 'EUROPE'
+                    WHEN 'CN' THEN 'ASIA' END AS gbif_region
+FROM c
+"""
+
+# --------------------------------------------------------------------------
+# J5 — vocabulary-term collapse via broadcast dict (normalized ' '→'_' upper)
+# --------------------------------------------------------------------------
+
+_VOCAB_TERMS = {"purchase": "COMMERCE", "signup": "ONBOARDING", "click": "ENGAGEMENT"}
+
+
+def q_j5_vocab_collapse(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    vocab_ref = ray.put(_VOCAB_TERMS)
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        # vocabulary hit → collapsed term; miss → normalized raw value
+        # (reference collapse vs passthrough, C/EsDocBuilder.java:142-151)
+        term = b["event_type"].map(vocab)
+        fallback = b["event_type"].str.replace(" ", "_").str.upper()
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "term": pa.array(term.fillna(fallback), pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_J5 = """
+SELECT event_id,
+       CASE event_type WHEN 'purchase' THEN 'COMMERCE' WHEN 'signup' THEN 'ONBOARDING'
+                       WHEN 'click' THEN 'ENGAGEMENT'
+                       ELSE upper(replace(event_type, ' ', '_')) END AS term
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# ST4 — hierarchy expansion (higher-taxa analog): key → ancestor chain,
+# exploded one row per distinct ancestor (flat_map shape, vectorized)
+# --------------------------------------------------------------------------
+
+def q_st4_taxa_expand(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        key = doc % 997
+        chains = np.stack([key, key // 10, key // 100, key // 1000], axis=1)
+        docs_rep = np.repeat(doc, 4)
+        flat = chains.ravel()
+        keep = flat > 0
+        out = pd.DataFrame({"doc_id": docs_rep[keep], "taxon": flat[keep]})
+        out = out.drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("doc_id", pa.int64()), ("taxon", pa.int64())])
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_ST4 = """
+SELECT DISTINCT doc_id, taxon FROM (
+  SELECT doc_id, doc_id % 997 AS taxon FROM documents
+  UNION ALL SELECT doc_id, (doc_id % 997) // 10 FROM documents
+  UNION ALL SELECT doc_id, (doc_id % 997) // 100 FROM documents
+  UNION ALL SELECT doc_id, (doc_id % 997) // 1000 FROM documents)
+WHERE taxon > 0
+"""
+
+QUERIES["q_t6_country_region"] = (q_t6_country_region, SQL_T6)
+QUERIES["q_j5_vocab_collapse"] = (q_j5_vocab_collapse, SQL_J5)
+QUERIES["q_st4_taxa_expand"] = (q_st4_taxa_expand, SQL_ST4)
