@@ -60,7 +60,11 @@ from ..config import CrawlConfig
 from ..functions.hashing import hash64_array
 from ..functions.urls import canonicalize_array, host_of_array
 from ..sources import tableio
-from ..stages.fetch import count_status, fetch_write_links_fn
+from ..stages.fetch import (
+    count_status,
+    fetch_write_links_bucketed_fn,
+    fetch_write_links_fn,
+)
 from ..stages.links import FRONTIER_SCHEMA
 from ..state.politeness import Politeness, robots_allowed_mask
 from ..state.seen import SeenSet
@@ -177,10 +181,12 @@ def run_crawl(
     seen = SeenSet.create(cfg.n_seen_shards)
     politeness = Politeness.create(cfg.n_politeness_shards)
 
-    # broadcast the corpus ONCE (zero-copy Arrow in plasma); every fetch task
-    # of every wave reads the same buffers instead of re-parsing the parquet.
-    # Callers that already hold the corpus in the object store pass corpus_ref.
-    if corpus_ref is None:
+    # Corpus access: a parquet FILE is broadcast ONCE via the object store
+    # (zero-copy Arrow in plasma, shared by every fetch task of every wave);
+    # a DIRECTORY is treated as a hash-bucketed corpus store (the 10^10-row
+    # scale path: per-worker lazy bucket loads + LRU, stages/fetch.py).
+    bucketed_corpus = os.path.isdir(corpus_path)
+    if not bucketed_corpus and corpus_ref is None:
         import pyarrow.parquet as pq
 
         corpus_ref = ray.put(pq.read_table(corpus_path))
@@ -253,11 +259,16 @@ def run_crawl(
                 shutil.rmtree(wdir)
             os.makedirs(wdir, exist_ok=True)
             n_blocks = max(1, granted.num_rows // cfg.fetch_batch_size)
+            stage_fn = (
+                fetch_write_links_bucketed_fn(corpus_path, wdir, cfg.max_depth)
+                if bucketed_corpus
+                else fetch_write_links_fn(corpus_ref, wdir, cfg.max_depth)
+            )
             links_tbl = _collect(
                 rd.from_arrow(granted)
                 .repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
                 .map_batches(
-                    fetch_write_links_fn(corpus_ref, wdir, cfg.max_depth),
+                    stage_fn,
                     batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size,
                 )

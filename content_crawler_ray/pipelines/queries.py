@@ -983,3 +983,112 @@ WHERE taxon > 0
 QUERIES["q_t6_country_region"] = (q_t6_country_region, SQL_T6)
 QUERIES["q_j5_vocab_collapse"] = (q_j5_vocab_collapse, SQL_J5)
 QUERIES["q_st4_taxa_expand"] = (q_st4_taxa_expand, SQL_ST4)
+
+
+# --------------------------------------------------------------------------
+# J6 (large×large) — distributed hash join, both sides big: Dataset.join
+# (hash-partitioned on the key). The broadcast pattern (J1-J3) is for small
+# dimensions; this is the shuffle path the corpus join takes when the probe
+# side is comparable in size (SURVEY.md §2.5 J6).
+# --------------------------------------------------------------------------
+
+def q_j6_hash_join(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.round(
+            pc.multiply(rev, pa.scalar(100.0)), round_mode="half_towards_infinity"
+        )  # DuckDB round() is half-away-from-zero; pyarrow defaults to bankers
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev_cents": pc.cast(cents, pa.int64())}
+        )
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"].to_pandas(),
+                "rev_cents": b["rev_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("o_orderstatus", as_index=False).agg(
+            n_items=("rev_cents", "size"), revenue_cents=("rev_cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SQL_J6 = """
+SELECT o.o_orderstatus, count(*) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+# --------------------------------------------------------------------------
+# Session windows — gap-based sessionization (streaming-shaped op beyond the
+# tumbling window): per-user events sorted by ts; a gap > 30 min starts a new
+# session. groupby(user).map_groups over the ordered group (ray_guide
+# streaming-shaped pattern); oracle via SQL window functions.
+# --------------------------------------------------------------------------
+
+def q_session_windows(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().fillna(0).astype(np.int64)
+        out = g.assign(session=sid).groupby("session", as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["start"] = out["start_ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["dur_s"] = (
+            (out["end_ts"] - out["start_ts"]) // pd.Timedelta(seconds=1)
+        ).astype(np.int64)
+        return out[["user_id", "session", "start", "n_events", "dur_s"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session
+  FROM marked)
+SELECT user_id, CAST(session AS BIGINT) AS session,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start,
+       count(*) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS dur_s
+FROM sess GROUP BY user_id, session
+"""
+
+QUERIES["q_j6_hash_join"] = (q_j6_hash_join, SQL_J6)
+QUERIES["q_session_windows"] = (q_session_windows, SQL_SESSIONS)

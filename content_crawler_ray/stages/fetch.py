@@ -225,3 +225,137 @@ class FetchDecode:
         return process_fetch_batch(
             batch, self._tbl, self._index, self._flaky, self._max_retries
         )
+
+
+# --------------------------------------------------------------------------
+# Bucketed corpus store — the 10^10-row scale path for the corpus probe
+# (SURVEY.md J6). The corpus is hash-partitioned on image_id into B bucket
+# files; each worker process lazily loads ONLY the buckets its batches touch
+# and LRU-caches a bounded number of them. The object-store broadcast path
+# above stays the fast path while the corpus fits in plasma (~10s of GB);
+# this path removes that ceiling: memory per worker = lru_buckets × bucket
+# size, independent of total corpus size.
+# --------------------------------------------------------------------------
+
+N_CORPUS_BUCKETS_DEFAULT = 64
+_WORKER_BUCKET_CACHE: dict = {}  # {(corpus_dir, bucket): (table, index)}
+_WORKER_BUCKET_LRU: list = []
+
+
+def write_bucketed_corpus(corpus: pa.Table, out_dir: str, n_buckets: int = N_CORPUS_BUCKETS_DEFAULT) -> str:
+    """Partition a corpus table into hash buckets (one parquet per bucket)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import hash64_array
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_BUCKETS"), "w") as f:
+        f.write(str(n_buckets))  # the store carries its own partitioning
+    buckets = (hash64_array(corpus["image_id"]) % np.uint64(n_buckets)).astype(np.int64)
+    for b in np.unique(buckets):
+        part = corpus.filter(pa.array(buckets == b))
+        path = os.path.join(out_dir, f"bucket_{int(b):04d}.parquet")
+        pq.write_table(part, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return out_dir
+
+
+def _bucket_state(corpus_dir: str, bucket: int, lru_buckets: int):
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (corpus_dir, bucket)
+    st = _WORKER_BUCKET_CACHE.get(key)
+    if st is None:
+        path = os.path.join(corpus_dir, f"bucket_{bucket:04d}.parquet")
+        tbl = pq.read_table(path).combine_chunks() if os.path.exists(path) else None
+        index = (
+            {s: i for i, s in enumerate(tbl["image_id"].to_pylist())} if tbl is not None else {}
+        )
+        st = (tbl, index)
+        _WORKER_BUCKET_CACHE[key] = st
+        _WORKER_BUCKET_LRU.append(key)
+        while len(_WORKER_BUCKET_LRU) > lru_buckets:
+            old = _WORKER_BUCKET_LRU.pop(0)
+            _WORKER_BUCKET_CACHE.pop(old, None)
+    else:
+        _WORKER_BUCKET_LRU.remove(key)
+        _WORKER_BUCKET_LRU.append(key)
+    return st
+
+
+def read_bucket_count(corpus_dir: str) -> int:
+    import os
+
+    with open(os.path.join(corpus_dir, "_BUCKETS")) as f:
+        return int(f.read().strip())
+
+
+def fetch_decode_bucketed_fn(
+    corpus_dir: str,
+    n_buckets: int | None = None,
+    lru_buckets: int = 16,
+    max_retries: int = FETCH_MAX_RETRIES,
+):
+    """Task-form fetch against a bucketed corpus: batch ids grouped by bucket,
+    one probe per touched bucket (per-worker LRU amortizes loads)."""
+    from ..functions.hashing import hash64_scalar
+
+    if n_buckets is None:
+        n_buckets = read_bucket_count(corpus_dir)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        from ..functions.urls import image_id_of_array
+
+        image_ids = image_id_of_array(batch["url"]).to_pylist()
+        # composite index across the touched buckets for this batch
+        tables: dict[int, pa.Table] = {}
+        index: dict[str, tuple[int, int]] = {}
+        for iid in set(i for i in image_ids if i):
+            b = hash64_scalar(iid) % n_buckets
+            if b not in tables:
+                tbl, idx = _bucket_state(corpus_dir, b, lru_buckets)
+                tables[b] = tbl
+                for s, row in idx.items():
+                    index[s] = (b, row)
+        # delegate to the shared kernel via a per-batch virtual table
+        rows = [index[i] for i in image_ids if i in index]
+        if rows:
+            sub = pa.concat_tables(
+                [tables[b].slice(r, 1) for b, r in rows], promote_options="default"
+            ).combine_chunks()
+            flat_index = {s: j for j, s in enumerate(sub["image_id"].to_pylist())}
+        else:
+            from ..sources.synth import make_corpus
+
+            sub = make_corpus(0)
+            flat_index = {}
+        return process_fetch_batch(batch, sub, flat_index, None, max_retries)
+
+    return fetch
+
+
+def fetch_write_links_bucketed_fn(corpus_dir: str, wave_dir: str, max_depth: int,
+                                  n_buckets: int | None = None):
+    """Bucketed variant of the fused fetch→spool→links stage."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from .links import ExtractLinks
+
+    inner = fetch_decode_bucketed_fn(corpus_dir, n_buckets)
+    extract = ExtractLinks(max_depth)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fetched = inner(batch)
+        path = os.path.join(wave_dir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(fetched, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return extract(fetched)
+
+    return fn

@@ -116,3 +116,24 @@ def test_fetch_retry_504(ray_session, corpus_and_seeds):
     assert st[2] == 504  # exhausted retries → recorded, not raised
     assert out["error"].to_pylist()[2] == "permanent 504"
     assert st[0] == 200 and st[3] == 200
+
+
+def test_bucketed_corpus_path_equals_broadcast(ray_session, corpus_and_seeds, golden):
+    """The 10^10-scale corpus path (hash-bucketed store, per-worker LRU bucket
+    loads) must produce the exact same crawl as the object-store broadcast."""
+    import os
+
+    from content_crawler_ray.stages.fetch import write_bucketed_corpus
+
+    corpus, seeds, _, root = corpus_and_seeds
+    bdir = os.path.join(root, "corpus_buckets")
+    write_bucketed_corpus(corpus, bdir, n_buckets=8)
+    out = os.path.join(root, "out_bucketed")
+    shutil.rmtree(out, ignore_errors=True)
+    _res, fetched = _run(bdir, seeds, out, checkpoint=False)
+    order = sorted(
+        zip(fetched.host, fetched.fetch_seq, fetched.url_hash.astype("uint64").astype(object))
+    )
+    assert order == [tuple(x) for x in golden["golden_order"]]
+    ok = fetched[fetched.status == 200]
+    assert (ok.psnr >= 40).all() and ok.phash_ok.all()
