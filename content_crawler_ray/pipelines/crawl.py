@@ -66,7 +66,8 @@ from ..stages.fetch import (
     fetch_write_links_fn,
 )
 from ..stages.links import FRONTIER_SCHEMA
-from ..state.politeness import Politeness, robots_allowed_mask
+from ..state.politeness import Politeness
+from ..state.robots import RobotsCache
 from ..state.seen import SeenSet
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
@@ -120,8 +121,35 @@ def _collect(ds: rd.Dataset, schema: pa.Schema | None = None) -> pa.Table:
     return pa.concat_tables(tbls, promote_options="default").combine_chunks()
 
 
+def _robots_mask(wave: pa.Table, robots: RobotsCache) -> pa.Array:
+    """Per-host robots.txt verdicts, vectorized per distinct host: parse/cache
+    a host's rules once (state/robots.py), then one pc.starts_with pass per
+    (host, prefix) over that host's paths."""
+    import pyarrow.compute as pc
+
+    urls = wave["url"]
+    paths = pc.replace_substring_regex(
+        urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", ""
+    )
+    hosts = np.asarray(wave["host"].to_pylist())
+    mask = np.ones(len(hosts), dtype=bool)
+    for host in set(hosts.tolist()):
+        rules = robots.rules_for(host)
+        if not rules:
+            continue
+        sel = hosts == host
+        sub = paths.filter(pa.array(sel))
+        bad = np.zeros(int(sel.sum()), dtype=bool)
+        for prefix in rules:
+            bad |= pc.starts_with(sub, prefix).to_numpy(zero_copy_only=False)
+        idx = np.nonzero(sel)[0]
+        mask[idx[bad]] = False
+    return pa.array(mask)
+
+
 def _grant_wave(
-    wave: pa.Table, seen: SeenSet, politeness: Politeness, host_budget: int, wave_no: int
+    wave: pa.Table, seen: SeenSet, politeness: Politeness, robots: RobotsCache,
+    host_budget: int, wave_no: int
 ) -> tuple[pa.Table, pa.Table, dict]:
     """Control-plane scheduling of one O(K) wave: robots → seen → politeness.
 
@@ -129,7 +157,7 @@ def _grant_wave(
     Deterministic: pure rank math over (priority, seed_rank, host).
     """
     n_wave = wave.num_rows
-    allowed = wave.filter(robots_allowed_mask(wave["url"]))
+    allowed = wave.filter(_robots_mask(wave, robots))
     hashes = allowed["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     admitted = allowed.filter(pa.array(~seen.contains(hashes))) if len(hashes) else allowed
 
@@ -180,6 +208,7 @@ def run_crawl(
 
     seen = SeenSet.create(cfg.n_seen_shards)
     politeness = Politeness.create(cfg.n_politeness_shards)
+    robots = RobotsCache()
 
     # Corpus access: a parquet FILE is broadcast ONCE via the object store
     # (zero-copy Arrow in plasma, shared by every fetch task of every wave);
@@ -239,7 +268,7 @@ def run_crawl(
         # ---- 2-3. control plane: robots / seen / politeness ----------------
         t1 = time.time()
         granted, denied, counters = _grant_wave(
-            wave_tbl, seen, politeness, cfg.host_budget, wave_no
+            wave_tbl, seen, politeness, robots, cfg.host_budget, wave_no
         )
 
         t_grant = time.time() - t1

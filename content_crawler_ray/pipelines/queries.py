@@ -1092,3 +1092,29 @@ FROM sess GROUP BY user_id, session
 
 QUERIES["q_j6_hash_join"] = (q_j6_hash_join, SQL_J6)
 QUERIES["q_session_windows"] = (q_session_windows, SQL_SESSIONS)
+
+
+# --------------------------------------------------------------------------
+# Skew: salted hot-key aggregation (SURVEY.md §4) — event_type is Zipf-hot
+# --------------------------------------------------------------------------
+
+def q_skew_salted_sum(sf_dir: str):
+    from .skew import salted_groupby_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "cents": _cents(b["value"])})
+
+    return salted_groupby_sum(
+        ds.map_batches(cents, batch_format="pyarrow"), "event_type", "cents",
+        alias="value_cents",
+    )
+
+
+SQL_SKEW = """
+SELECT event_type, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
+
+QUERIES["q_skew_salted_sum"] = (q_skew_salted_sum, SQL_SKEW)

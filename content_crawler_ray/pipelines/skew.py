@@ -1,0 +1,76 @@
+"""Skew-aware salted aggregation (SURVEY.md §4) — the hot-key pattern.
+
+A bare ``groupby(key)`` sends every row of a hot key to ONE reduce partition;
+with Zipf-like key skew (hot hosts, hot n-grams) that partition becomes the
+straggler. Salting splits each hot key into ``n_salt`` sub-keys for the first
+(wide) aggregation, then merges the tiny salted partials in a second
+aggregation — two shuffles over skew-free keys instead of one skewed shuffle.
+
+For associative aggregates this repo mostly AVOIDS the problem entirely by
+pre-aggregating inside map_batches (q_j1/q_a7/...: one partial row per key
+per batch), which bounds any key's row count by the number of blocks. Salting
+is the tool for the cases pre-aggregation can't cover: map_groups over raw
+rows (windowing, top-k within key) where the hot group itself must be split
+— documented here as a first-class, tested utility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def salted_groupby_sum(
+    ds: rd.Dataset, key: str, value: str, n_salt: int = 8, alias: str | None = None
+) -> rd.Dataset:
+    """SUM(value) GROUP BY key with hot-key salting: stage 1 groups by
+    (key, salt) — salt derived from a row-content hash so it is deterministic
+    and evenly spread — stage 2 merges the ≤ n_salt partials per key."""
+    alias = alias or f"sum_{value}"
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        v = b[value].to_numpy(zero_copy_only=False)
+        # deterministic spread: bit-mixed row value, independent of block order
+        salt = (np.abs(v.view(np.int64) if v.dtype.kind == "f" else v) % n_salt).astype(
+            np.int64
+        )
+        return pa.table({key: b[key], "_salt": pa.array(salt), value: b[value]})
+
+    stage1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .aggregate(Sum(value, alias_name=alias))
+    )
+    return stage1.groupby(key).aggregate(Sum(alias, alias_name=alias))
+
+
+def salted_top_values(
+    ds: rd.Dataset, key: str, value: str, k: int = 3, n_salt: int = 8
+) -> rd.Dataset:
+    """Top-k values per key via salted map_groups: each hot group is split
+    into ≤ n_salt sub-groups that compute local top-k; a second pass merges.
+    (The non-associative case where plain pre-aggregation doesn't apply.)"""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        v = b[value].to_numpy(zero_copy_only=False)
+        salt = (np.abs(v.view(np.int64) if v.dtype.kind == "f" else v) % n_salt).astype(
+            np.int64
+        )
+        return b.append_column("_salt", pa.array(salt))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, value)[[key, value]]
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, value)
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .map_groups(local_topk, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge_topk, batch_format="pandas")
+    )

@@ -43,8 +43,9 @@ from .functions import codecs
 from .functions.hashing import hash64_scalar
 from .functions.urls import canonicalize_scalar, image_id_of_scalar
 
+from .state.robots import ROBOTS_DISALLOW, RobotsCache
+
 LINK_RE = re.compile(r"href=(\S+)")
-ROBOTS_DISALLOW = "/private/"
 LINK_PRIORITY_DECAY = 0.5
 LINK_RANK_BASE = 1000
 
@@ -78,9 +79,18 @@ def _dedup(rows: list[FrontierRow]) -> list[FrontierRow]:
     return out
 
 
+_ROBOTS = RobotsCache()
+
+
+def _path_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+
+
 def robots_allowed(url: str) -> bool:
-    """Deterministic robots model: every host disallows /private/ paths."""
-    return ROBOTS_DISALLOW not in url
+    """robots.txt verdict via the shared parser/cache (state/robots.py);
+    synthetic rule: every host disallows /private/ paths."""
+    return _ROBOTS.allowed(_host_of(url), _path_of(url))
 
 
 def simulate(

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import ray
 
-from ..simulator import ROBOTS_DISALLOW  # single source of truth for the robots rule
+from .robots import ROBOTS_DISALLOW  # single source of truth for the robots rule
 
 
 def robots_allowed_mask(urls):

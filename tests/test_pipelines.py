@@ -139,3 +139,29 @@ def test_query_matches_duckdb_oracle(ray_session, sf_dir, name):
     assert len(got) == len(exp)
     assert list(got.columns) == list(exp.columns)
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_salted_topk_matches_plain(ray_session):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.skew import salted_top_values
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 4000
+    keys = np.where(rng.random(n) < 0.8, "hot", rng.choice(["a", "b", "c"], n))
+    vals = rng.integers(0, 10**6, n)
+    tbl = pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals, pa.int64())})
+    got = (
+        salted_top_values(rd.from_arrow(tbl), "k", "v", k=3, n_salt=4)
+        .to_pandas()
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    want = (
+        tbl.to_pandas()
+        .groupby("k", group_keys=False)[["k", "v"]]
+        .apply(lambda g: g.nlargest(3, "v"))
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
