@@ -79,9 +79,7 @@ def q_t2_normalize(sf_dir: str):
 
     def fn(b: pa.Table) -> pa.Table:
         lang = b["lang"]
-        iso3 = pa.scalar("und", pa.string())
-        out = pc.cast(iso3, pa.string())
-        expr = pc.if_else(pc.is_valid(lang), pa.scalar("und"), pa.scalar("und"))
+        expr = pc.cast(pa.scalar("und"), pa.string())
         for k, v in _ISO3.items():
             expr = pc.if_else(pc.equal(lang, k), pa.scalar(v), expr)
         n = len(b)
@@ -1118,3 +1116,35 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["q_skew_salted_sum"] = (q_skew_salted_sum, SQL_SKEW)
+
+
+# --------------------------------------------------------------------------
+# Sketch: HLL count-distinct — one sketch per batch, tiny merge (rows-only;
+# approximate by design, the exact twin is q_dedup_exact_stats)
+# --------------------------------------------------------------------------
+
+def q_hll_distinct(sf_dir: str):
+    from ..functions.sketch import HyperLogLog
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        h = HyperLogLog(12)
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h.add_hashes(keys)  # add_hashes splitmixes internally
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = None
+    from ..functions.sketch import HyperLogLog as HLL
+
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s in b["sketch"].to_pylist():
+            h = HLL.from_bytes(s)
+            merged = h if merged is None else merged.merge(h)
+    est = int(round(merged.estimate())) if merged is not None else 0
+    return pa.table({"distinct_orderkeys_hll": pa.array([est], pa.int64())})
+
+
+QUERIES["q_hll_distinct"] = (q_hll_distinct, None)

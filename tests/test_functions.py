@@ -172,3 +172,19 @@ def test_parse_tags_all_families():
     assert t["country_researcher"].to_pylist()[9] == "US"
     assert t["topic"].to_pylist()[10] == "CITIZEN_SCIENCE"
     assert all(v is None for v in t["doi"].to_pylist()[1:])
+
+
+def test_hll_estimate_accuracy():
+    from content_crawler_ray.functions.sketch import HyperLogLog
+    from content_crawler_ray.functions.hashing import hash64_scalar
+
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    keys = np.array([hash64_scalar(f"k{i}") for i in range(20_000)], dtype=np.uint64)
+    h1.add_hashes(keys[:12_000])
+    h2.add_hashes(keys[8_000:])  # overlapping halves
+    h1.merge(h2)
+    est = h1.estimate()
+    assert abs(est - 20_000) / 20_000 < 0.05  # ~1.04/sqrt(4096) ≈ 1.6% std err
+    # serialization round trip preserves the estimate
+    h3 = HyperLogLog.from_bytes(h1.to_bytes())
+    assert h3.estimate() == est
