@@ -31,17 +31,26 @@ MAX_BUCKET = 64  # LSH buckets larger than this are skipped (logged); a bucket
 def exact_dedup_first(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Keep min-doc_id row per exact text (A1 analog, keyed on content hash)."""
 
-    def add_hash(b: pa.Table) -> pa.Table:
-        return b.append_column("_h", pa.array(hash64_array(b[text_col]), pa.uint64()))
+    n_buckets = 16
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = hash64_array(b[text_col])
+        b = b.append_column("_h", pa.array(h, pa.uint64()))
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    # bucket the shuffle: one vectorized pandas dedup per bucket instead of a
+    # Python map_groups call per distinct hash (pathological at many groups)
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id").drop_duplicates("_h").drop(columns=["_h", "_b"])
+        )
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["_h"])
+        .groupby("_b")
+        .map_groups(first_per_hash, batch_format="pandas")
     )
 
 
@@ -73,27 +82,69 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > MAX_BUCKET:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs from every (band, band_hash) group of one shuffle
+    bucket — vectorized per group, ONE map_groups call per bucket (ray's
+    per-group dispatch is Python-level and pathological at many tiny groups)."""
+    out_a, out_b = [], []
+    for _, grp in g.groupby(["band", "band_hash"], sort=False):
+        ids = np.sort(grp["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > MAX_BUCKET:
+            continue
+        a, b = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    if not out_a:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+        )
+    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
 def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
-    """LSH candidate (doc_a, doc_b) pairs, deduped."""
+    """LSH candidate (doc_a, doc_b) pairs, deduped. Shuffles key on a hash
+    BUCKET of the band key so each reduce handles a whole bucket of groups
+    with one vectorized pandas pass."""
+    n_buckets = 32
     # autoscaling pool (min 1): a fixed pool of `concurrency` actors could
     # reserve every CPU of a small session and starve the downstream
     # groupby shuffle (deadlock) — see ray_guide actor-pool sizing note
     lsh = docs.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
     )
-    pairs = lsh.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bb = (
+            b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return b.append_column("_b", pa.array(bb, pa.int64()))
+
+    pairs = (
+        lsh.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(_emit_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            bb = (
+                (
+                    b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    * np.uint64(31)
+                    + b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                )
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+        return b.append_column("_b", pa.array(bb, pa.int64()))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_b"]),
+            batch_format="pandas",
+        )
     )
 
 

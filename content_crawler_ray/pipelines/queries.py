@@ -26,6 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import text as T
+from .agg import combine_partials
 from ..functions.dates import created_at
 from ..functions.hashing import hash64_array
 from ..functions.tags import parse_tags
@@ -233,10 +234,8 @@ def q_t13_prefix_filter(sf_dir: str):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("n", alias_name="n"))
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], {"n": "sum"}
     )
 
 
@@ -264,10 +263,10 @@ def q_j1_orders_customer(sf_dir: str):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_name")
-        .aggregate(Sum("order_cnt", alias_name="order_cnt"), Sum("total_cents", alias_name="total_cents"))
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_name"],
+        {"order_cnt": "sum", "total_cents": "sum"},
     )
 
 
@@ -302,13 +301,10 @@ def q_j3_two_hop(sf_dir: str):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("region")
-        .aggregate(
-            Sum("customer_cnt", alias_name="customer_cnt"),
-            Sum("acctbal_cents", alias_name="acctbal_cents"),
-        )
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["region"],
+        {"customer_cnt": "sum", "acctbal_cents": "sum"},
     )
 
 
@@ -340,10 +336,8 @@ def q_j2_semi_join(sf_dir: str):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(Sum("n", alias_name="n"))
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_orderstatus"], {"n": "sum"}
     )
 
 
@@ -430,9 +424,9 @@ def q_a7_topk_users(sf_dir: str):
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n_events", alias_name="n_events"))
+        combine_partials(
+            ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], {"n_events": "sum"}
+        )
         .sort(["n_events", "user_id"], descending=[True, False])
         .limit(10)
     )
@@ -478,20 +472,39 @@ FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100
 def q_window_daily(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
+    # pack (user_id, day) into ONE int64 key: Ray's sort-based aggregate on a
+    # composite (int, string) key measured 100x slower than a single fixed-
+    # width key (ds.stats(): 144 core-s for 67k partial rows); the day string
+    # is reconstructed vectorized after the shuffle
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch_day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         b = b.assign(
-            day=b["ts"].dt.strftime("%Y-%m-%d"),
+            key=b["user_id"].to_numpy() * 1_000_000 + epoch_day,
             cents=np.round(b["value"].to_numpy() * 100).astype(np.int64),
         )
-        return b.groupby(["user_id", "day"], as_index=False).agg(
+        return b.groupby("key", as_index=False).agg(
             n=("cents", "size"), value_cents=("cents", "sum")
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    agg = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["key"],
+        {"n": "sum", "value_cents": "sum"},
     )
+
+    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["key"].to_numpy()
+        day = pd.to_datetime((key % 1_000_000).astype("int64"), unit="D")
+        return pd.DataFrame(
+            {
+                "user_id": key // 1_000_000,
+                "day": day.strftime("%Y-%m-%d"),
+                "n": b["n"],
+                "value_cents": b["value_cents"],
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pandas")
 
 
 SQL_WINDOW_DAILY = """
@@ -507,17 +520,22 @@ FROM events GROUP BY user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
 def q_groupby_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table({"event_type": b["event_type"], "cents": _cents(b["value"])})
-
-    return (
-        ds.map_batches(fn, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("cents", alias_name="min_cents"),
-            Max("cents", alias_name="max_cents"),
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "cents": _cents(b["value"]).to_numpy(zero_copy_only=False),
+            }
         )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), min_cents=("cents", "min"), max_cents=("cents", "max")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": "sum", "min_cents": "min", "max_cents": "max"},
     )
 
 
@@ -791,11 +809,19 @@ def q_image_stats(sf_dir: str):
     corpus_path = _ensure_corpus(n_corpus, min_dim, max_dim)
     ds = rd.read_parquet(corpus_path)
     stats = ds.map_batches(DecodeStats(), batch_format="pyarrow", batch_size=512)
-    return stats.groupby("fmt").aggregate(
-        Count(alias_name="n"),
-        Sum("w", alias_name="sum_w"),
-        Sum("h", alias_name="sum_h"),
-        Min("psnr_e3", alias_name="min_psnr_e3"),
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["fmt", "w", "h", "psnr_e3"]).to_pandas()
+        agg = df.groupby("fmt", as_index=False).agg(
+            n=("w", "size"), sum_w=("w", "sum"), sum_h=("h", "sum"),
+            min_psnr_e3=("psnr_e3", "min"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return combine_partials(
+        stats.map_batches(partial, batch_format="pyarrow"),
+        ["fmt"],
+        {"n": "sum", "sum_w": "sum", "sum_h": "sum", "min_psnr_e3": "min"},
     )
 
 
@@ -1024,13 +1050,10 @@ def q_j6_hash_join(sf_dir: str):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
+    return combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        {"n_items": "sum", "revenue_cents": "sum"},
     )
 
 

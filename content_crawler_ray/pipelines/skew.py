@@ -39,12 +39,23 @@ def salted_groupby_sum(
         )
         return pa.table({key: b[key], "_salt": pa.array(salt), value: b[value]})
 
-    stage1 = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key, "_salt"])
-        .aggregate(Sum(value, alias_name=alias))
+    from .agg import combine_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        agg = df.groupby([key, "_salt"], as_index=False).agg(**{alias: (value, "sum")})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stage1 = combine_partials(
+        ds.map_batches(add_salt, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [key, "_salt"],
+        {alias: "sum"},
     )
-    return stage1.groupby(key).aggregate(Sum(alias, alias_name=alias))
+    return combine_partials(stage1, [key], {alias: "sum"})
 
 
 def salted_top_values(
