@@ -35,7 +35,7 @@ def robots_allowed_mask(urls):
     return pc.invert(pc.match_substring(urls, ROBOTS_DISALLOW))
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class PolitenessShard:
     def __init__(self):
         self.fetch_seq: dict[str, int] = {}

@@ -23,7 +23,7 @@ import ray
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class SeenShard:
     def __init__(self, capacity_hint: int = 1 << 16):
         self.cuckoo = CuckooFilter(capacity_hint)
