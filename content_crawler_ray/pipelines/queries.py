@@ -1171,3 +1171,18 @@ def q_hll_distinct(sf_dir: str):
 
 
 QUERIES["q_hll_distinct"] = (q_hll_distinct, None)
+
+
+# --------------------------------------------------------------------------
+# Image near-dedup by perceptual hash (hamming-LSH over phash bands)
+# --------------------------------------------------------------------------
+
+def q_dedup_phash(sf_dir: str):
+    from .imagededup import phash_neardup_pairs
+
+    n_corpus, _, min_dim, max_dim = crawl_tier(sf_dir)
+    corpus_path = _ensure_corpus(n_corpus, min_dim, max_dim)
+    return phash_neardup_pairs(corpus_path, max_hamming=6)
+
+
+QUERIES["q_dedup_phash"] = (q_dedup_phash, None)

@@ -182,18 +182,25 @@ def fetch_write_links_fn(corpus_ref, wave_dir: str, max_depth: int,
 
 
 def count_status(wave_dir: str, code: int = 200) -> int:
-    """Column-pruned scan of the spooled wave (reads ONLY the status column)."""
+    """Column-pruned scan of the spooled wave (reads ONLY the status column);
+    IO-bound, so the per-file reads run on a thread pool."""
     import glob
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    n = 0
-    for f in glob.glob(os.path.join(wave_dir, "part-*.parquet")):
+    files = glob.glob(os.path.join(wave_dir, "part-*.parquet"))
+
+    def one(f: str) -> int:
         t = pq.read_table(f, columns=["status"])
-        n += int(pc.sum(pc.equal(t["status"], code)).as_py() or 0)
-    return n
+        return int(pc.sum(pc.equal(t["status"], code)).as_py() or 0)
+
+    if not files:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        return sum(ex.map(one, files))
 
 
 class FetchDecode:

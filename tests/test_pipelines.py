@@ -165,3 +165,50 @@ def test_salted_topk_matches_plain(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_phash_neardup_finds_planted_pairs(ray_session, tmp_path):
+    """Same pixels encoded raw vs dctq (lossy) under different ids land within
+    a small hamming distance; unrelated images do not."""
+    from content_crawler_ray.functions import codecs
+    from content_crawler_ray.pipelines.imagededup import phash_neardup_pairs
+    from content_crawler_ray.sources import synth
+
+    base = synth.make_corpus(30)
+    px = codecs.gen_pixels("img-000000000003", 64, 64)
+    dup_rows = pa.table(
+        {
+            "image_id": pa.array(["dup-raw", "dup-lossy", "dup-raw2"], pa.string()),
+            "bytes": pa.array(
+                [
+                    codecs.encode(px, "raw"),
+                    codecs.encode(px, "dctq"),
+                    codecs.encode(px, "raw"),
+                ],
+                pa.binary(),
+            ),
+            "w": pa.array([64, 64, 64], pa.int32()),
+            "h": pa.array([64, 64, 64], pa.int32()),
+            "fmt": pa.array(["raw", "dctq", "raw"], pa.string()),
+            "caption": pa.array(["", "", ""], pa.string()),
+            "phash": pa.array(
+                [
+                    codecs.phash64(px),
+                    codecs.phash64(codecs.decode(codecs.encode(px, "dctq"), 64, 64, "dctq")),
+                    codecs.phash64(px),
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    corpus = pa.concat_tables([base, dup_rows])
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, path)
+
+    pairs = phash_neardup_pairs(path, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert ("dup-raw", "dup-raw2") in got  # identical pixels → hamming 0
+    assert ("dup-lossy", "dup-raw") in got or ("dup-lossy", "dup-raw2") in got
+    planted = {"dup-raw", "dup-lossy", "dup-raw2"}
+    for a, b in got:
+        assert a in planted and b in planted  # no false pairs among random images
