@@ -12,8 +12,15 @@ here (or in content_crawler_ray) calls ray.init/ray.shutdown.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# driver-side import guard (Ray WORKERS additionally inherit the driver's
+# cwd on sys.path, so the driver process must run from the repo root — which
+# the graft driver does; this line only covers the driver-side import)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from content_crawler_ray.pipelines.queries import QUERIES, run_flagship
 
