@@ -117,6 +117,18 @@ FAST_ORACLE_QUERIES = [
     "q_ann_topk",
     "q_text_token_count",
     "q_text_quality",
+    "q_a1_dedup_first",
+    "q_a5_union_distinct",
+    "q_dedup_bow",
+    "q_window_daily",
+    "q_j5_vocab_collapse",
+    "q_j6_hash_join",
+    "q_t6_country_region",
+    "q_t7_props_extract",
+    "q_s2_key_paged",
+    "q_st4_taxa_expand",
+    "q_session_windows",
+    "q_skew_salted_sum",
 ]
 
 
