@@ -41,8 +41,11 @@ class DecodeStats:
         phash_ok = np.zeros(n, dtype=bool)
         for i in range(n):
             decoded = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
-            orig = codecs.gen_pixels(ids[i], int(ws[i]), int(hs[i]))
-            psnr_e3[i] = int(np.floor(codecs.psnr(decoded, orig) * 1000))
+            if fmts[i] == "raw":  # lossless → PSNR is the cap by definition
+                psnr_e3[i] = 99_000
+            else:
+                orig = codecs.gen_pixels(ids[i], int(ws[i]), int(hs[i]))
+                psnr_e3[i] = int(np.floor(codecs.psnr(decoded, orig) * 1000))
             phash_ok[i] = codecs.phash64(decoded) == int(phs[i])
         return pa.table(
             {
