@@ -71,6 +71,26 @@ def hash64_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return h
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 ndarray — the integer-key
+    analog of hash64_array (uniform bucket spread for sequential ids)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash64_any(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 hashes of a string OR integer Arrow column (join/bucket keys)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return hash64_array(arr)
+    vals = arr.to_numpy(zero_copy_only=False)
+    return splitmix64(vals.astype(np.int64).view(np.uint64))
+
+
 def hash64_column(table: pa.Table, col: str, out: str = "url_hash") -> pa.Table:
     """Append a uint64 hash column of ``col`` to an Arrow table (map_batches body)."""
     h = hash64_array(table[col])

@@ -7,9 +7,9 @@ Scale shapes:
   - MinHash+LSH: shingle→signature per batch (stateful params in an actor
     pool), explode to (band, band_hash, doc_id) rows, groupby the band key,
     emit candidate pairs per bucket, verify exact Jaccard. The verify stage
-    broadcasts the doc shingle sets at sandbox scale (documents are small);
-    at 100 TB the verify is a self-join by doc_id on the bucketed pairs —
-    noted inline.
+    shuffles pair endpoints + doc texts on the same doc-id bucket key (text
+    ships once), then pivots pairs together on a tiny second shuffle — no
+    driver-side or broadcast corpus materialization, so it holds at 100 TB.
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -101,10 +102,10 @@ def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
-def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
-    """LSH candidate (doc_a, doc_b) pairs, deduped. Shuffles key on a hash
-    BUCKET of the band key so each reduce handles a whole bucket of groups
-    with one vectorized pandas pass."""
+def _candidate_pairs_raw(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+    """LSH candidate (doc_a, doc_b) pairs, UNdeduped — a pair appears once per
+    shared band. One groupby shuffle keyed on a hash BUCKET of the band key so
+    each reduce handles a whole bucket of groups with one vectorized pass."""
     n_buckets = 32
     # autoscaling pool (min 1): a fixed pool of `concurrency` actors could
     # reserve every CPU of a small session and starve the downstream
@@ -120,11 +121,19 @@ def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Datase
         ).astype(np.int64)
         return b.append_column("_b", pa.array(bb, pa.int64()))
 
-    pairs = (
+    return (
         lsh.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(_emit_pairs, batch_format="pandas")
     )
+
+
+def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+    """LSH candidate (doc_a, doc_b) pairs, deduped (one extra bucketed
+    shuffle; the verify pipeline skips it by deduping inside its own
+    pair-keyed shuffle instead)."""
+    n_buckets = 32
+    pairs = _candidate_pairs_raw(docs, concurrency)
 
     def add_pair_bucket(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -148,38 +157,182 @@ def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Datase
     )
 
 
+def _read_docs(docs_path: str, columns: list[str]) -> rd.Dataset:
+    """Column-pruned docs read with a CPU-matched block count for small
+    inputs. Ray splits even a sub-MB file into 64+ blocks; with three sort
+    rounds downstream, per-task fixed overhead then dominates wall time
+    (measured 2× at sf0.1). Inputs ≥ cpus × 32 MB keep Ray's native
+    size-based splitting — at cluster scale the override must not fire."""
+    import os
+
+    nb = None
+    try:
+        sz = os.path.getsize(docs_path)
+    except OSError:
+        sz = None
+    if sz is not None and ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        if sz < cpus * (32 << 20):
+            nb = max(8, min(cpus, 64))
+    return rd.read_parquet(docs_path, columns=columns, override_num_blocks=nb)
+
+
 def minhash_verified_pairs(
     docs_path: str, threshold: float = 0.8, shingle_k: int = 5, concurrency: int = 4
 ) -> rd.Dataset:
     """Near-dup pairs with exact Jaccard ≥ threshold, LSH-pruned.
 
-    Verification broadcasts doc texts via ray.put (fits for sandbox scales;
-    at 10^10 docs this becomes a double hash-join of pairs against the docs
-    table on doc_a / doc_b — same downstream verify kernel)."""
-    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
-    texts = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        texts.update(dict(zip(b["doc_id"].to_pylist(), b["text"].to_pylist())))
-    texts_ref = ray.put(texts)
-    cands = minhash_candidate_pairs(docs, concurrency)
+    Verification is fully distributed — no driver-side or broadcast corpus
+    materialization. Shuffle shape: each candidate pair explodes into two
+    endpoint rows keyed by doc id; the docs table rides the SAME bucketed
+    shuffle keyed by doc_id, so every doc's text ships exactly once (vs twice
+    for a naive double hash-join). A second, tiny shuffle (2 rows/pair) on
+    the pair key pivots both texts together for the exact-Jaccard kernel,
+    which caches shingle sets per batch (a doc in k pairs shingles once)."""
+    docs = _read_docs(docs_path, ["doc_id", "text"])
+    # UNdeduped candidates: duplicate (multi-band) pairs are collapsed inside
+    # the verify shuffle below, which is keyed on the pair anyway — saves a
+    # whole sort round vs deduping separately
+    cands = _candidate_pairs_raw(docs, concurrency)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        da = batch["doc_a"].to_pylist()
-        db = batch["doc_b"].to_pylist()
+    # the candidate stage ends in pandas-block map_groups output; normalize
+    # to uniform Arrow blocks with an exact schema
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pc.cast(b["doc_a"], pa.int64()),
+                "doc_b": pc.cast(b["doc_b"], pa.int64()),
+            }
+        )
+
+    cands = cands.map_batches(_canon, batch_format="pyarrow")
+
+    from ..functions.hashing import splitmix64
+
+    n_buckets = 32
+    _endpoint_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("slot", pa.int8()),
+            ("text", pa.large_string()),
+            ("_b", pa.int64()),
+        ]
+    )
+
+    def _bucket_of_ids(ids: np.ndarray) -> np.ndarray:
+        return (splitmix64(ids.astype(np.int64).view(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+
+    # Stage 1 — attach each endpoint's text with ONE shuffle of the corpus:
+    # every pair contributes two endpoint rows keyed by its doc ids; the docs
+    # table rides the same shuffle keyed by doc_id (text ships exactly once).
+    def endpoints(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy(zero_copy_only=False)
+        db = b["doc_b"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([da, db])
+        n = len(da)
+        return pa.Table.from_arrays(
+            [
+                pa.array(key, pa.int64()),
+                pa.array(np.concatenate([da, da]), pa.int64()),
+                pa.array(np.concatenate([db, db]), pa.int64()),
+                pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()
+                ),
+                pa.nulls(2 * n, pa.large_string()),
+                pa.array(_bucket_of_ids(key), pa.int64()),
+            ],
+            schema=_endpoint_schema,
+        )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int8()),
+                pc.cast(b["text"], pa.large_string()),
+                pa.array(_bucket_of_ids(ids), pa.int64()),
+            ],
+            schema=_endpoint_schema,
+        )
+
+    tagged = cands.map_batches(endpoints, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+    )
+
+    def attach_text(t: pa.Table) -> pa.Table:
+        eps = t.filter(pc.is_valid(t["slot"]))
+        dd = t.filter(pc.is_null(t["slot"]))
+        lookup = dict(
+            zip(
+                dd["key"].to_numpy(zero_copy_only=False).tolist(),
+                dd["text"].to_pylist(),
+            )
+        )
+        keys = eps["key"].to_numpy(zero_copy_only=False)
+        texts = [lookup.get(k) for k in keys.tolist()]
+        da = pc.cast(eps["doc_a"], pa.int64())
+        db = pc.cast(eps["doc_b"], pa.int64())
+        with np.errstate(over="ignore"):
+            pb = (
+                splitmix64(
+                    da.to_numpy(zero_copy_only=False).view(np.uint64) * np.uint64(1_000_003)
+                    + db.to_numpy(zero_copy_only=False).view(np.uint64)
+                )
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": da,
+                "doc_b": db,
+                "slot": pc.cast(eps["slot"], pa.int8()),
+                "text": pa.array(texts, pa.large_string()),
+                "_pb": pa.array(pb, pa.int64()),
+            }
+        )
+
+    with_text = tagged.groupby("_b").map_groups(attach_text, batch_format="pyarrow")
+
+    # Stage 2 — a second (tiny: 2 rows/pair) shuffle on the pair key brings
+    # both endpoint texts together; pivot + exact-Jaccard verify per bucket.
+    def verify(t: pa.Table) -> pa.Table:
+        lt = t.filter(pc.equal(t["slot"], 0))
+        rt = t.filter(pc.equal(t["slot"], 1))
+        left = {
+            (a, b): tx
+            for a, b, tx in zip(
+                lt["doc_a"].to_pylist(), lt["doc_b"].to_pylist(), lt["text"].to_pylist()
+            )
+        }
         out_a, out_b, jac = [], [], []
         cache: dict[int, np.ndarray] = {}
 
-        def sh(d):
+        def sh(d, txt):
             if d not in cache:
-                cache[d] = T.char_shingles(tx.get(d) or "", shingle_k)
+                cache[d] = T.char_shingles(txt or "", shingle_k)
             return cache[d]
 
-        for x, y in zip(da, db):
-            j = T.jaccard(sh(x), sh(y))
+        seen: set[tuple[int, int]] = set()
+        for a, b, tb_ in zip(
+            rt["doc_a"].to_pylist(), rt["doc_b"].to_pylist(), rt["text"].to_pylist()
+        ):
+            if (a, b) in seen:  # multi-band duplicate pair — collapse here
+                continue
+            seen.add((a, b))
+            ta_ = left.get((a, b))
+            if ta_ is None:
+                continue
+            j = T.jaccard(sh(a, ta_), sh(b, tb_))
             if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
+                out_a.append(a)
+                out_b.append(b)
                 jac.append(int(np.floor(j * 1000)))
         return pa.table(
             {
@@ -189,7 +342,7 @@ def minhash_verified_pairs(
             }
         )
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return with_text.groupby("_pb").map_groups(verify, batch_format="pyarrow")
 
 
 def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:

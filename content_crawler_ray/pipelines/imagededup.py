@@ -8,20 +8,24 @@ pigeonhole, probabilistic above). Candidates = images sharing any
 (band_idx, band_value) bucket; verify = exact hamming ≤ threshold.
 
 Shuffle shape mirrors dedup.py: band rows → bucketed groupby (one vectorized
-pandas pass per shuffle bucket, never per group) → pair dedup → verify against
-an object-store broadcast of the (id, phash) column pair (8 bytes/row — tiny
-even at 10^10 rows ÷ cluster)."""
+pandas pass per shuffle bucket, never per group) → pair emit. The 8-byte
+phash rides along each band row, so each candidate pair already carries both
+hashes and the hamming verify is a pure per-batch numpy kernel — no driver
+materialization and no broadcast of any id→hash map (a 10^10-row dict would
+be ~1 TB of driver heap counting Python object overhead)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 
 N_BANDS = 4
 MAX_BUCKET = 256  # a bucket this hot means near-constant images; skip O(n²)
+
+# vectorized popcount via byte-LUT (module-level: built once per worker)
+_POPCNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
 
 
 def _bands_of(phash: np.ndarray) -> np.ndarray:
@@ -33,17 +37,19 @@ def _bands_of(phash: np.ndarray) -> np.ndarray:
     )
 
 
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise popcount(a ^ b) of two int64 hash arrays."""
+    if not len(a):
+        return np.array([], dtype=np.int64)
+    x = a.astype(np.int64).view(np.uint64) ^ b.astype(np.int64).view(np.uint64)
+    return _POPCNT_LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
 def phash_neardup_pairs(
     corpus_path: str, max_hamming: int = 6, n_buckets: int = 32
 ) -> rd.Dataset:
     """(id_a, id_b, hamming) pairs of images with phash distance ≤ threshold."""
     ds = rd.read_parquet(corpus_path, columns=["image_id", "phash"])
-
-    # broadcast the verify side: id -> phash (8B/row; scale note in docstring)
-    id2hash: dict[str, int] = {}
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        id2hash.update(zip(b["image_id"].to_pylist(), b["phash"].to_pylist()))
-    ref = ray.put(id2hash)
 
     def band_rows(b: pa.Table) -> pa.Table:
         ph = b["phash"].to_numpy(zero_copy_only=False)
@@ -56,6 +62,7 @@ def phash_neardup_pairs(
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(np.repeat(ph, N_BANDS), pa.int64()),
                 "band_idx": pa.array(band_idx, pa.int64()),
                 "band_val": pa.array(band_val, pa.int64()),
                 "_b": pa.array(bucket, pa.int64()),
@@ -63,17 +70,38 @@ def phash_neardup_pairs(
         )
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        """Candidate pairs per (band_idx, band_val) group; both phashes ride
+        along so downstream verify never needs a lookup table."""
+        out_a, out_b, out_ha, out_hb = [], [], [], []
         for _, grp in g.groupby(["band_idx", "band_val"], sort=False):
-            ids = np.sort(grp["image_id"].to_numpy())
+            ids = grp["image_id"].to_numpy()
+            phs = grp["phash"].to_numpy()
             if len(ids) < 2 or len(ids) > MAX_BUCKET:
                 continue
+            order = np.argsort(ids)
+            ids, phs = ids[order], phs[order]
             a, b = np.triu_indices(len(ids), k=1)
             out_a.append(ids[a])
             out_b.append(ids[b])
+            out_ha.append(phs[a])
+            out_hb.append(phs[b])
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)})
-        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=str),
+                    "id_b": pd.Series([], dtype=str),
+                    "ph_a": pd.Series([], dtype=np.int64),
+                    "ph_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "ph_a": np.concatenate(out_ha),
+                "ph_b": np.concatenate(out_hb),
+            }
+        )
 
     pairs = (
         ds.map_batches(band_rows, batch_format="pyarrow")
@@ -81,21 +109,15 @@ def phash_neardup_pairs(
         .map_groups(emit_pairs, batch_format="pandas")
     )
 
-    def dedup_and_verify(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"id_a": b["id_a"].to_pylist(), "id_b": b["id_b"].to_pylist()})
-        df = df.drop_duplicates()
-        lookup = ray.get(ref)
-        ha = np.array([lookup[i] for i in df["id_a"]], dtype=np.int64).view(np.uint64)
-        hb = np.array([lookup[i] for i in df["id_b"]], dtype=np.int64).view(np.uint64)
-        x = ha ^ hb
-        # vectorized popcount via byte-LUT
-        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64) if len(x) else np.array([], dtype=np.int64)
+    def verify(b: pa.Table) -> pa.Table:
+        ha = b["ph_a"].to_numpy(zero_copy_only=False)
+        hb = b["ph_b"].to_numpy(zero_copy_only=False)
+        ham = _hamming64(ha, hb)
         keep = ham <= max_hamming
         return pa.table(
             {
-                "id_a": pa.array(df["id_a"].to_numpy()[keep], pa.string()),
-                "id_b": pa.array(df["id_b"].to_numpy()[keep], pa.string()),
+                "id_a": pc_filter_str(b["id_a"], keep),
+                "id_b": pc_filter_str(b["id_b"], keep),
                 "hamming": pa.array(ham[keep], pa.int64()),
             }
         )
@@ -110,7 +132,7 @@ def phash_neardup_pairs(
             "_pb", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
         )
 
-    verified = pairs.map_batches(dedup_and_verify, batch_format="pyarrow")
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
     return (
         verified.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("_pb")
@@ -119,3 +141,10 @@ def phash_neardup_pairs(
             batch_format="pandas",
         )
     )
+
+
+def pc_filter_str(col: pa.ChunkedArray | pa.Array, mask: np.ndarray) -> pa.Array:
+    """Filter a string column by a numpy bool mask (zero-copy Arrow path)."""
+    import pyarrow.compute as pc
+
+    return pc.filter(col, pa.array(mask)).combine_chunks()

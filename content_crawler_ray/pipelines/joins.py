@@ -1,0 +1,91 @@
+"""Bucketed distributed equi-join built from groupby shuffles.
+
+Why not ``Dataset.join``: ray 2.49's hash-shuffle join finalizes a partition
+that received no shards of one side as a zero-column table, which
+``pa.Table.join`` rejects ("No match or multiple matches ... on left side")
+whenever a side's key space doesn't reach every partition — the normal case
+for sparse candidate-pair tables. Its aggregator actors also reserve
+``num_partitions × 0.125`` CPUs, which deadlocks small sessions when two
+joins run concurrently. The bucketed form below (tag rows with their side,
+bucket on hash64(key), one local Arrow hash-join per shuffle bucket) has
+neither edge, reuses the proven groupby shuffle, and keeps every per-bucket
+kernel vectorized.
+
+Scale shape: ONE all-to-all shuffle keyed on a uniform hash bucket; each
+reduce task joins a whole bucket with a single acero hash-join call. Skewed
+join keys spread over buckets by hash; a genuinely hot single key still
+lands in one bucket — callers with that profile should pre-salt.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import hash64_any
+
+
+def bucketed_inner_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    left_schema: dict[str, pa.DataType],
+    right_schema: dict[str, pa.DataType],
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Inner equi-join of two Datasets on a single key column.
+
+    ``left_schema`` / ``right_schema`` list each side's columns (including its
+    key) with their Arrow types; both sides are projected to the union schema
+    with typed nulls so Dataset.union sees uniform blocks. Output columns:
+    all left columns, then right columns minus the right key.
+    """
+    left_cols = list(left_schema)
+    right_cols = list(right_schema)
+    union_fields = (
+        [(c, left_schema[c]) for c in left_cols]
+        + [(c, right_schema[c]) for c in right_cols if c not in left_schema]
+        + [("_side", pa.int8()), ("_b", pa.int64())]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _project(cols: list[str], key: str, side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            bb = (hash64_any(b[key]) % np.uint64(n_buckets)).astype(np.int64)
+            arrays = []
+            for name, typ in union_fields[:-2]:
+                if name in cols:
+                    arrays.append(pc.cast(b[name], typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8), pa.int8()))
+            arrays.append(pa.array(bb, pa.int64()))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+
+        return fn
+
+    tagged = left.map_batches(_project(left_cols, left_on, 0), batch_format="pyarrow").union(
+        right.map_batches(_project(right_cols, right_on, 1), batch_format="pyarrow")
+    )
+
+    out_cols = left_cols + [c for c in right_cols if c != right_on and c not in left_cols]
+
+    def merge(t: pa.Table) -> pa.Table:
+        # groups that saw only one side can degrade the other side's typed
+        # nulls to null-type columns through the shuffle — restore the types
+        def _typed(sub: pa.Table, schema: dict[str, pa.DataType]) -> pa.Table:
+            return pa.table({c: pc.cast(sub[c], schema[c]) for c in schema})
+
+        lt = _typed(t.filter(pc.equal(t["_side"], 0)), left_schema)
+        rt = _typed(t.filter(pc.equal(t["_side"], 1)), right_schema)
+        joined = lt.join(
+            rt, keys=[left_on], right_keys=[right_on], join_type="inner"
+        )
+        return joined.select(out_cols).combine_chunks()
+
+    return tagged.groupby("_b").map_groups(merge, batch_format="pyarrow")

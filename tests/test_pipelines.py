@@ -224,3 +224,105 @@ def test_phash_neardup_finds_planted_pairs(ray_session, tmp_path):
     planted = {"dup-raw", "dup-lossy", "dup-raw2"}
     for a, b in got:
         assert a in planted and b in planted  # no false pairs among random images
+
+
+def test_minhash_distributed_verify_equals_local_reference(ray_session, tmp_path):
+    """Fixed-seed pair-set equality: the fully-distributed LSH+join verify
+    must emit exactly the pairs an independent local replay of the same
+    LSH parameters + exact-Jaccard filter produces (VERDICT r1 item 1)."""
+    import itertools
+
+    from content_crawler_ray.functions import text as T
+    from content_crawler_ray.pipelines import dedup
+
+    rng = np.random.default_rng(42)
+    words = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=30))
+        texts.append(base)
+        if i % 3 == 0:  # plant a near-dup: perturb one word
+            toks = base.split()
+            toks[rng.integers(len(toks))] = "zz"
+            texts.append(" ".join(toks))
+    ids = list(range(len(texts)))
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}), path
+    )
+
+    threshold, k = 0.7, 5
+    got = dedup.minhash_verified_pairs(path, threshold=threshold, shingle_k=k).to_pandas()
+    got_set = {(a, b, j) for a, b, j in zip(got.doc_a, got.doc_b, got.jaccard_e3)}
+
+    # local replay of the same deterministic LSH params + MAX_BUCKET skip rule
+    a_p, b_p = T.minhash_params(128)
+    sh = {i: T.char_shingles(t, k) for i, t in zip(ids, texts)}
+    bands = {
+        i: T.band_hashes(T.minhash_signature(sh[i], a_p, b_p), 16) for i in ids
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in ids:
+        for bi, bh in enumerate(bands[i]):
+            buckets.setdefault((bi, int(bh)), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > dedup.MAX_BUCKET:
+            continue
+        for x, y in itertools.combinations(sorted(members), 2):
+            cand.add((x, y))
+    want = set()
+    for x, y in cand:
+        j = T.jaccard(sh[x], sh[y])
+        if j >= threshold:
+            want.add((x, y, int(np.floor(j * 1000))))
+    assert got_set == want
+    assert len(want) > 10  # the fixture actually planted verifiable pairs
+
+
+def test_phash_distributed_verify_equals_local_reference(ray_session, tmp_path):
+    """Same equality guarantee for the image phash near-dup path: band rows
+    carry the hash, so the distributed pipeline needs no broadcast — verify
+    its output against a local O(n²) replay of band-LSH + hamming."""
+    import itertools
+
+    from content_crawler_ray.pipelines import imagededup as I
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(2**62), 2**62, size=80, dtype=np.int64)
+    # plant near-dups: flip ≤3 bits of every 4th hash
+    ids, phs = [], []
+    for i, h in enumerate(hashes):
+        ids.append(f"img{i:03d}")
+        phs.append(int(h))
+        if i % 4 == 0:
+            flipped = int(h) ^ (1 << int(rng.integers(0, 16)))
+            ids.append(f"img{i:03d}_dup")
+            phs.append(flipped)
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(
+        pa.table({"image_id": pa.array(ids), "phash": pa.array(phs, pa.int64())}), path
+    )
+
+    got = I.phash_neardup_pairs(path, max_hamming=6).to_pandas()
+    got_set = {(a, b, h) for a, b, h in zip(got.id_a, got.id_b, got.hamming)}
+
+    by_band: dict[tuple[int, int], list[str]] = {}
+    h_of = dict(zip(ids, phs))
+    bands = I._bands_of(np.array(phs, dtype=np.int64))
+    for i, iid in enumerate(ids):
+        for bi in range(I.N_BANDS):
+            by_band.setdefault((bi, int(bands[i, bi])), []).append(iid)
+    cand = set()
+    for members in by_band.values():
+        if len(members) < 2 or len(members) > I.MAX_BUCKET:
+            continue
+        for x, y in itertools.combinations(sorted(members), 2):
+            cand.add((x, y))
+    want = set()
+    for x, y in cand:
+        ham = int(bin((h_of[x] ^ h_of[y]) & (2**64 - 1)).count("1"))
+        if ham <= 6:
+            want.add((x, y, ham))
+    assert got_set == want
+    assert len(want) >= 20
