@@ -398,7 +398,26 @@ def q_a5_union_distinct(sf_dir: str):
         .union(keys("supplier", "s_suppkey"))
         .union(keys("nation", "n_nationkey"))
     )
-    return u.groupby("k").map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    # bucketed distinct: ONE vectorized pandas dedup per shuffle bucket, not
+    # a Python map_groups dispatch per distinct key (pathological at many
+    # tiny groups — the exact_dedup_first pattern, dedup.py)
+    n_buckets = 16
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        k = b["k"].to_numpy(zero_copy_only=False)
+        bb = (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_b", pa.array(bb, pa.int64()))
+
+    return (
+        u.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.drop_duplicates("k").drop(columns=["_b"]), batch_format="pandas"
+        )
+    )
 
 
 SQL_A5 = """
@@ -554,15 +573,28 @@ def q_dedup_exact_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
     n_rows = ds.count()
 
-    def add_hash(b: pa.Table) -> pa.Table:
-        return pa.table({"h": pa.array(hash64_array(b["text"]), pa.uint64())})
+    # bucket the distinct-count: per-bucket nunique (one vectorized pass per
+    # shuffle bucket), then a tiny driver sum — not per-distinct-hash dispatch
+    n_buckets = 16
 
-    n_unique = (
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = hash64_array(b["text"])
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "_b": pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_bucket = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .count()
+        .groupby("_b")
+        .map_groups(
+            lambda g: pd.DataFrame({"n": [np.int64(g["h"].nunique())]}),
+            batch_format="pandas",
+        )
     )
+    n_unique = int(per_bucket.to_pandas()["n"].sum())
     return pa.table({"n_rows": pa.array([n_rows]), "n_unique": pa.array([n_unique])})
 
 
@@ -576,19 +608,28 @@ def q_dedup_bow(sf_dir: str):
     token multisets (order-insensitive exact dup detection)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    n_buckets = 16
+
     def add_bow(b: pd.DataFrame) -> pd.DataFrame:
         bow = b["text"].fillna("").map(lambda t: " ".join(sorted(t.split(" "))))
-        return pd.DataFrame({"doc_id": b["doc_id"], "bow": bow})
+        out = pd.DataFrame({"doc_id": b["doc_id"], "bow": bow})
+        h = hash64_array(pa.array(bow, pa.string()))
+        out["_b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
 
-    def group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "bow": [g["bow"].iloc[0]], "n_dups": [np.int64(len(g))]}
+    # bucketed shuffle + ONE vectorized pandas groupby per bucket (not a
+    # Python dispatch per distinct bow fingerprint)
+    def group_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("bow", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
+        agg["n_dups"] = agg["n_dups"].astype(np.int64)
+        return agg[["doc_id", "bow", "n_dups"]]
 
     return (
         ds.map_batches(add_bow, batch_format="pandas")
-        .groupby("bow")
-        .map_groups(group, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(group_bucket, batch_format="pandas")
     )
 
 
