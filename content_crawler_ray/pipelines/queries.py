@@ -173,6 +173,125 @@ def q_t4_tag_dispatch(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _synth_tags_list(doc_id: np.ndarray, lang: pd.Series) -> pa.LargeListArray:
+    """Deterministic list<string> tags per doc (1 + doc_id%4 tags; seed
+    s = doc_id*3 + pos%3, so 4-tag docs repeat their first tag — planting
+    the duplicates the set-accumulation must collapse)."""
+    iso = lang.map(_LANG_ISO2).fillna("US").to_numpy()
+    n = 1 + (doc_id % 4)
+    parent = np.repeat(np.arange(len(doc_id)), n)
+    pos = np.arange(len(parent)) - np.repeat(np.cumsum(n) - n, n)
+    s = doc_id[parent] * 3 + (pos % 3)
+    fam = s % 7
+    tags = np.select(
+        [fam == 0, fam == 1, fam == 2, fam == 3, fam == 4, fam == 5],
+        [
+            np.char.add("gbifDOI:10.5072/dl.", (s % 50).astype(str)),
+            np.where(s % 2 == 0, "peer_review:true", "peer_review:false"),
+            np.where(
+                s % 13 == 0,
+                np.char.add("gbifTaxon:x", s.astype(str)),
+                np.char.add("gbifTaxon:", (s % 997).astype(str)),
+            ),
+            np.char.add("gbifOccurrence:", (s * 7).astype(str)),
+            iso[parent],
+            np.char.add(np.char.lower(iso[parent].astype(str)), "_biodiversity"),
+        ],
+        default="citation_type:journal",
+    )
+    offsets = np.zeros(len(doc_id) + 1, dtype=np.int64)
+    np.cumsum(n, out=offsets[1:])
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(tags, pa.string())
+    )
+
+
+def q_t4_tags_list(sf_dir: str):
+    """T4/A2 real shape: list<string> tags per doc, one-pass prefix dispatch
+    with per-doc SET accumulation into array fields
+    (M/ElasticSearchIndexHandler.java:247-377, set-dedup :352-372). The
+    engine output carries true list columns; this oracle projection joins
+    them to csv strings (sorted order) for the value-hash compare."""
+    from ..functions.tags import dispatch_tags_list
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        tags = _synth_tags_list(doc_id, b["lang"])
+        out = dispatch_tags_list(pa.array(doc_id, pa.int64()), tags)
+
+        def csv(col: str) -> pa.Array:
+            c = out[col].combine_chunks() if isinstance(out[col], pa.ChunkedArray) else out[col]
+            if not pa.types.is_string(c.type.value_type):
+                c = pa.LargeListArray.from_arrays(
+                    c.offsets, pc.cast(c.values, pa.string())
+                )
+            return pc.binary_join(c, ",")
+
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "dois": csv("dois"),
+                "taxon_keys": csv("taxon_keys"),
+                "occurrence_keys": csv("occurrence_keys"),
+                "citation_types": csv("citation_types"),
+                "countries_coverage": csv("countries_coverage"),
+                "countries_researcher": csv("countries_researcher"),
+                "topics": csv("topics"),
+                "peer_review": out["peer_review"],
+                "open_access": out["open_access"],
+                "n_tags_distinct": out["n_tags_distinct"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_T4_LIST = """
+WITH base AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 'US' WHEN 'de' THEN 'DE' WHEN 'fr' THEN 'FR'
+                   WHEN 'es' THEN 'ES' WHEN 'zh' THEN 'CN' ELSE 'US' END AS iso,
+         UNNEST(range(1 + doc_id % 4)) AS i
+  FROM documents),
+seeded AS (SELECT doc_id, iso, doc_id * 3 + (i % 3) AS s FROM base),
+tagged AS (
+  SELECT doc_id, CASE s % 7
+    WHEN 0 THEN 'gbifDOI:10.5072/dl.' || CAST(s % 50 AS VARCHAR)
+    WHEN 1 THEN CASE WHEN s % 2 = 0 THEN 'peer_review:true' ELSE 'peer_review:false' END
+    WHEN 2 THEN CASE WHEN s % 13 = 0 THEN 'gbifTaxon:x' || CAST(s AS VARCHAR)
+                     ELSE 'gbifTaxon:' || CAST(s % 997 AS VARCHAR) END
+    WHEN 3 THEN 'gbifOccurrence:' || CAST(s * 7 AS VARCHAR)
+    WHEN 4 THEN iso
+    WHEN 5 THEN lower(iso) || '_biodiversity'
+    ELSE 'citation_type:journal' END AS tag
+  FROM seeded)
+SELECT doc_id,
+  COALESCE(array_to_string(list_sort(list(DISTINCT CASE WHEN tag LIKE 'gbifDOI:%' THEN substr(tag, 9) END)
+           FILTER (WHERE tag LIKE 'gbifDOI:%')), ','), '') AS dois,
+  COALESCE(array_to_string(list_sort(list(DISTINCT CASE WHEN regexp_matches(tag, '^gbifTaxon:[0-9]+$')
+           THEN CAST(substr(tag, 11) AS BIGINT) END)
+           FILTER (WHERE regexp_matches(tag, '^gbifTaxon:[0-9]+$'))), ','), '') AS taxon_keys,
+  COALESCE(array_to_string(list_sort(list(DISTINCT CASE WHEN regexp_matches(tag, '^gbifOccurrence:[0-9]+$')
+           THEN CAST(substr(tag, 16) AS BIGINT) END)
+           FILTER (WHERE regexp_matches(tag, '^gbifOccurrence:[0-9]+$'))), ','), '') AS occurrence_keys,
+  COALESCE(array_to_string(list_sort(list(DISTINCT substr(tag, 15))
+           FILTER (WHERE tag LIKE 'citation_type:%')), ','), '') AS citation_types,
+  COALESCE(array_to_string(list_sort(list(DISTINCT upper(substr(tag, 1, 2)))
+           FILTER (WHERE regexp_matches(tag, '^[a-z]{2}_biodiversity$'))), ','), '') AS countries_coverage,
+  COALESCE(array_to_string(list_sort(list(DISTINCT tag)
+           FILTER (WHERE regexp_matches(tag, '^[A-Z]{2}$'))), ','), '') AS countries_researcher,
+  COALESCE(array_to_string(list_sort(list(DISTINCT upper(replace(tag, ' ', '_')))
+           FILTER (WHERE upper(replace(tag, ' ', '_')) IN
+                   ('DATA_PAPER','CITIZEN_SCIENCE','BIODIVERSITY','CONSERVATION','INVASIVES'))), ','), '') AS topics,
+  COALESCE(bool_or(tag = 'peer_review:true'), FALSE) AS peer_review,
+  COALESCE(bool_or(tag = 'open_access:true'), FALSE) AS open_access,
+  COUNT(DISTINCT tag) AS n_tags_distinct
+FROM tagged GROUP BY doc_id
+"""
+
+
 SQL_T4 = """
 WITH tagged AS (
   SELECT doc_id,
@@ -875,6 +994,7 @@ QUERIES: dict[str, tuple] = {
     "q_t2_normalize": (q_t2_normalize, SQL_T2),
     "q_t3_created_at": (q_t3_created_at, SQL_T3),
     "q_t4_tag_dispatch": (q_t4_tag_dispatch, SQL_T4),
+    "q_t4_tags_list": (q_t4_tags_list, SQL_T4_LIST),
     "q_t5_controlled_terms": (q_t5_controlled_terms, SQL_T5),
     "q_t13_prefix_filter": (q_t13_prefix_filter, SQL_T13),
     "q_j1_orders_customer": (q_j1_orders_customer, SQL_J1),

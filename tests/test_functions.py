@@ -188,3 +188,31 @@ def test_hll_estimate_accuracy():
     # serialization round trip preserves the estimate
     h3 = HyperLogLog.from_bytes(h1.to_bytes())
     assert h3.estimate() == est
+
+
+def test_dispatch_tags_list_set_accumulation():
+    """T4/A2 real shape: list<string> tags, one pass, per-doc SET semantics
+    (duplicate tags collapse; tolerant numeric parse drops bad taxon keys)."""
+    import pyarrow as pa
+
+    from content_crawler_ray.functions.tags import dispatch_tags_list
+
+    tags = pa.array(
+        [
+            ["gbifDOI:10.1/x", "gbifDOI:10.1/x", "US", "peer_review:true"],
+            ["gbifTaxon:42", "gbifTaxon:7", "gbifTaxon:x9", "de_biodiversity"],
+            [],
+            ["citizen science", "open_access:true", "citation_type:journal", "US", "FR"],
+        ],
+        pa.list_(pa.string()),
+    )
+    out = dispatch_tags_list(pa.array([10, 11, 12, 13], pa.int64()), tags)
+    rows = out.to_pylist()
+    assert rows[0]["dois"] == ["10.1/x"]  # duplicate collapsed
+    assert rows[0]["peer_review"] is True and rows[0]["n_tags_distinct"] == 3
+    assert rows[1]["taxon_keys"] == [7, 42]  # numeric sort; 'x9' dropped
+    assert rows[1]["countries_coverage"] == ["DE"]
+    assert rows[2]["n_tags_distinct"] == 0 and rows[2]["dois"] == []
+    assert rows[3]["topics"] == ["CITIZEN_SCIENCE"]
+    assert rows[3]["countries_researcher"] == ["FR", "US"]
+    assert rows[3]["open_access"] is True and rows[3]["peer_review"] is False

@@ -103,6 +103,7 @@ FAST_ORACLE_QUERIES = [
     "q_t2_normalize",
     "q_t3_created_at",
     "q_t4_tag_dispatch",
+    "q_t4_tags_list",
     "q_t5_controlled_terms",
     "q_t13_prefix_filter",
     "q_j1_orders_customer",
