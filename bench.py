@@ -104,6 +104,20 @@ def run_bench() -> dict:
             out_ds = out_ds.materialize()
         per_query[name] = round(time.time() - t0, 3)
 
+    if bench_queries:
+        # distributed backup sink over the bench corpus (content-addressed
+        # blobs + per-batch metadata shards; pipelines/backup.py)
+        import ray.data as rd
+
+        from content_crawler_ray.pipelines.backup import backup_corpus
+
+        bdir = f"{bench_dir}/bench_backup_{num_cpus}"
+        shutil.rmtree(bdir, ignore_errors=True)
+        t0 = time.time()
+        backup_corpus(rd.read_parquet(corpus_path), bdir)
+        per_query["backup_corpus"] = round(time.time() - t0, 3)
+        shutil.rmtree(bdir, ignore_errors=True)
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(warm_out, ignore_errors=True)
     result = {

@@ -4,36 +4,67 @@
 The reference updates each referenced News/Article document with a
 ``<type>Tag`` collect-set of referencing entry ids via racy per-doc painless
 upserts (exists-check + retry_on_conflict 3). Re-expressed as a deterministic
-grouped reduce: emit (target_id, tag_field, source_id) triples →
-``groupby(target_id, tag_field)`` collect-set (sorted, deduped) → merge into
-the keyed target table through the idempotent upsert sink (tableio.upsert_parquet),
-unioning with any tag values already present (the reference's
-exists-check-no-duplicate semantics, :41-45)."""
+grouped reduce: emit (target_id, tag_field, source_id) triples → ONE shuffle
+keyed on a hash bucket of the merge key → per-bucket vectorized collect-set
+(sorted, deduped) → per-bucket merge into the keyed target table, unioning
+with any tag values already present (the reference's
+exists-check-no-duplicate semantics, :41-45).
+
+Scale shape: the shuffle buckets are ALIGNED with the upsert table's
+bucketing (same hash64 % n_buckets of the merge key), so each reduce task
+merges straight into exactly one bucket file — collect, union-with-existing
+and the effectful write all happen in the same distributed task; nothing
+funnels through the driver."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..sources.tableio import read_upsert_table, upsert_parquet
+from ..functions.hashing import hash64_array
+from ..sources.tableio import _bucket_path, _merge_bucket
+
+N_BUCKETS = 16
+
+
+def _merge_key(target_id: pd.Series, tag_field: pd.Series) -> pd.Series:
+    return target_id.astype(str) + "\x00" + tag_field.astype(str)
+
+
+def _collect_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized collect-set of one shuffle bucket: every (target, field)
+    group in one pandas pass — no per-group Python dispatch."""
+    g = g.drop_duplicates(["target_id", "tag_field", "source_id"])
+    g = g.sort_values(["target_id", "tag_field", "source_id"])
+    out = g.groupby(["target_id", "tag_field"], as_index=False, sort=False).agg(
+        sources=("source_id", lambda c: ",".join(c.astype(str)))
+    )
+    return out
+
+
+def _add_bucket(b: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mk = pc.binary_join_element_wise(
+        pc.cast(b["target_id"], pa.string()), pc.cast(b["tag_field"], pa.string()), "\x00"
+    )
+    h = hash64_array(mk)
+    return b.append_column(
+        "_b", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64), pa.int64())
+    )
 
 
 def collect_links(links: rd.Dataset) -> rd.Dataset:
     """(target_id, tag_field, source_id) → one row per (target_id, tag_field)
     with the sorted-distinct source ids joined as a comma string."""
-
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "target_id": [g["target_id"].iloc[0]],
-                "tag_field": [g["tag_field"].iloc[0]],
-                "sources": [",".join(sorted(set(g["source_id"].astype(str))))],
-            }
+    return (
+        links.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: _collect_bucket(g.drop(columns=["_b"])), batch_format="pandas"
         )
-
-    return links.groupby(["target_id", "tag_field"]).map_groups(
-        collect, batch_format="pandas"
     )
 
 
@@ -41,24 +72,48 @@ def merge_links_into_table(
     links: rd.Dataset, table_dir: str, key: str = "target_id"
 ) -> None:
     """Merge collected reverse links into the keyed target table: existing tag
-    values union with the new ones (idempotent — replay adds nothing)."""
-    new = collect_links(links).to_pandas()
-    try:
-        existing = read_upsert_table(table_dir).to_pandas()
-    except (FileNotFoundError, ValueError):
-        existing = pd.DataFrame({key: [], "tag_field": [], "sources": []})
-    merged = pd.concat(
-        [existing.rename(columns={key: "target_id"})[["target_id", "tag_field", "sources"]], new]
-    )
-    out = merged.groupby(["target_id", "tag_field"], as_index=False).agg(
-        sources=(
-            "sources",
-            lambda col: ",".join(
-                sorted({x for s in col for x in str(s).split(",") if x})
+    values union with the new ones (idempotent — replay adds nothing). The
+    collect-set AND the effectful per-bucket merge run inside the same
+    shuffle reduce task (buckets aligned with the table's hash layout)."""
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+
+    def collect_and_merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_b"].iloc[0])
+        new = _collect_bucket(g.drop(columns=["_b"]))
+        new["merge_key"] = _merge_key(new["target_id"], new["tag_field"])
+        path = _bucket_path(table_dir, b)
+        if os.path.exists(path):
+            import pyarrow.parquet as pq
+
+            existing = pq.read_table(path).to_pandas()
+            both = pd.concat(
+                [existing[["target_id", "tag_field", "sources", "merge_key"]], new]
+            )
+            new = both.groupby(
+                ["target_id", "tag_field", "merge_key"], as_index=False, sort=False
+            ).agg(
+                sources=(
+                    "sources",
+                    lambda col: ",".join(
+                        sorted({x for s in col for x in str(s).split(",") if x})
+                    ),
+                )
+            )[["target_id", "tag_field", "sources", "merge_key"]]
+        n = _merge_bucket(
+            pa.Table.from_pandas(
+                new[["target_id", "tag_field", "sources", "merge_key"]],
+                preserve_index=False,
             ),
+            path,
+            "merge_key",
         )
-    )
-    out["merge_key"] = out["target_id"].astype(str) + "\x00" + out["tag_field"]
-    upsert_parquet(
-        pa.Table.from_pandas(out, preserve_index=False), table_dir, key="merge_key"
+        return pd.DataFrame({"bucket": [b], "n_rows": [np.int64(n)]})
+
+    (
+        links.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(collect_and_merge, batch_format="pandas")
+        .materialize()
     )

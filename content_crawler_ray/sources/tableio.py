@@ -118,35 +118,73 @@ def _bucket_path(table_dir: str, bucket: int) -> str:
     return os.path.join(table_dir, f"bucket_{bucket:04d}.parquet")
 
 
-def upsert_parquet(new_rows: pa.Table, table_dir: str, key: str, n_buckets: int = 16) -> None:
-    """Merge-on-key upsert: later rows (within this call, input order) and this
-    call's rows (vs existing) win. Sandbox impl runs buckets in a loop; the
-    distributed path maps the same per-bucket merge over a bucket-id Dataset."""
-    import pandas as pd
-
+def _bucket_ids_of(new_rows: pa.Table, key: str, n_buckets: int) -> np.ndarray:
     from ..functions.hashing import hash64_array
 
-    os.makedirs(table_dir, exist_ok=True)
-    if new_rows.num_rows == 0:
-        return
     kcol = new_rows[key]
     if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
         hashes = hash64_array(kcol)
     else:
         hashes = kcol.to_numpy(zero_copy_only=False).astype(np.uint64)
-    buckets = (hashes % np.uint64(n_buckets)).astype(np.int64)
-    for b in np.unique(buckets):
-        part = new_rows.filter(pa.array(buckets == b))
-        path = _bucket_path(table_dir, int(b))
-        if os.path.exists(path):
-            merged = pa.concat_tables([pq.read_table(path), part], promote_options="default")
-        else:
-            merged = part
-        df = merged.to_pandas().drop_duplicates(key, keep="last")
-        out = pa.Table.from_pandas(df, preserve_index=False).cast(merged.schema)
-        tmp = path + ".tmp"
-        pq.write_table(out, tmp)
-        os.replace(tmp, path)
+    return (hashes % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _merge_bucket(part: pa.Table, path: str, key: str) -> int:
+    """Merge this call's rows for one bucket into its file (last-write-wins
+    by row order within ``part``); atomic tmp+rename, idempotent on replay."""
+    if os.path.exists(path):
+        merged = pa.concat_tables([pq.read_table(path), part], promote_options="default")
+    else:
+        merged = part
+    df = merged.to_pandas().drop_duplicates(key, keep="last")
+    out = pa.Table.from_pandas(df, preserve_index=False).cast(merged.schema)
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return out.num_rows
+
+
+def upsert_parquet(new_rows: pa.Table, table_dir: str, key: str, n_buckets: int = 16) -> None:
+    """Merge-on-key upsert: later rows (within this call, input order) and this
+    call's rows (vs existing) win. Per-bucket merges run as parallel Ray tasks
+    over a bucket-id Dataset (each task touches exactly one bucket file, so
+    they never contend); sequential fallback outside a Ray session."""
+    import ray
+
+    os.makedirs(table_dir, exist_ok=True)
+    if new_rows.num_rows == 0:
+        return
+    buckets = _bucket_ids_of(new_rows, key, n_buckets)
+    present = [int(b) for b in np.unique(buckets)]
+    if not ray.is_initialized() or len(present) == 1:
+        for b in present:
+            part = new_rows.filter(pa.array(buckets == b))
+            _merge_bucket(part, _bucket_path(table_dir, b), key)
+        return
+
+    import ray.data as rd
+
+    rows_ref = ray.put(new_rows)
+    buckets_ref = ray.put(buckets)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        rows = ray.get(rows_ref)
+        bks = ray.get(buckets_ref)
+        out_b, out_n = [], []
+        for b in batch["bucket"].to_pylist():
+            part = rows.filter(pa.array(bks == b))
+            n = _merge_bucket(part, _bucket_path(table_dir, int(b)), key)
+            out_b.append(b)
+            out_n.append(n)
+        return pa.table(
+            {"bucket": pa.array(out_b, pa.int64()), "n_rows": pa.array(out_n, pa.int64())}
+        )
+
+    (
+        rd.from_items([{"bucket": b} for b in present], override_num_blocks=len(present))
+        .map_batches(merge, batch_format="pyarrow")
+        .materialize()
+    )
 
 
 def read_upsert_table(table_dir: str) -> pa.Table:

@@ -43,7 +43,7 @@ def test_reverse_link_merge(ray_session, tmp_path):
     assert out.loc[("n2", "articleTag"), "sources"] == "a2"
 
 
-def test_backup_restore_roundtrip(tmp_path):
+def test_backup_restore_roundtrip(ray_session, tmp_path):
     corpus = synth.make_corpus(30)
     d = str(tmp_path / "bk")
     r1 = backup_corpus(corpus, d)
