@@ -35,7 +35,11 @@ Wave steps (exactly mirrors simulator.simulate):
      granted hashes inserted into seen shards (before links flow)
   4. granted → map_batches(FetchDecode, concurrency=N) → out/wave=<n>/
   5. links extracted/canonicalized/hashed, self-deduped keep-best,
-     seen-filtered (after the grant barrier)
+     seen-filtered (after the grant barrier) — ALL as Dataset stages
+     (_links_dedup_seen): link rows never reach the driver. Round 1 pulled
+     the full discovery table to the driver per wave (O(K · branching) ≈
+     multi-GB at K=1M × ~10 links/row); now driver link bytes/wave = 0,
+     only the count crosses.
   6. frontier' = rest ∪ denied ∪ links                              [union]
   7. checkpoint frontier + seen shards + politeness counters, commit manifest
 
@@ -145,6 +149,41 @@ def _robots_mask(wave: pa.Table, robots: RobotsCache) -> pa.Array:
         idx = np.nonzero(sel)[0]
         mask[idx[bad]] = False
     return pa.array(mask)
+
+
+def _links_dedup_seen(links: rd.Dataset, seen: SeenSet, n_buckets: int = 16) -> rd.Dataset:
+    """Self-dedup keep-best + seen-filter of discovered links as Dataset
+    stages: bucket on url_hash, one vectorized pandas keep-best pass per
+    shuffle bucket, then a batched ``seen.contains`` against the shard
+    actors from INSIDE the reduce task. Link rows never reach the driver
+    (previously O(wave_size · branching) pandas per wave there; now the
+    driver holds only the plan). Deterministic: keep-best orders by
+    (priority DESC, seed_rank ASC) and seed_ranks are unique per discovery
+    (parent_rank*1000+j), so bucket-local dedup equals the global one."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = b["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def dedup_filter(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
+        )
+        g = g.drop_duplicates("url_hash").drop(columns=["_b"])
+        h = g["url_hash"].to_numpy().astype(np.uint64)
+        return g[~seen.contains(h)]
+
+    return (
+        links.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dedup_filter, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def _grant_wave(
@@ -274,7 +313,8 @@ def run_crawl(
         t_grant = time.time() - t1
 
         # ---- 4. data plane: fetch + decode (actor pool), spool wave --------
-        links_tbl = FRONTIER_SCHEMA.empty_table()
+        links_ds = None
+        n_discovered = 0
         ok_n = 0
         t_fetch = t_write = t_links = 0.0
         t1 = time.time()
@@ -293,7 +333,7 @@ def run_crawl(
                 if bucketed_corpus
                 else fetch_write_links_fn(corpus_ref, wdir, cfg.max_depth)
             )
-            links_tbl = _collect(
+            raw_links = (
                 rd.from_arrow(granted)
                 .repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
                 .map_batches(
@@ -302,43 +342,34 @@ def run_crawl(
                     batch_size=cfg.fetch_batch_size,
                 )
             )
+            # self-dedup + seen-filter as Dataset stages; materialize ONCE
+            # (the fused fetch side effect executes exactly here, and link
+            # rows stay in the object store — zero driver bytes per wave)
+            links_ds = _links_dedup_seen(raw_links, seen).materialize()
+            n_discovered = links_ds.count()
             t_fetch = time.time() - t1
             t1 = time.time()
             # column-pruned status scan of the spooled wave (metrics only)
             ok_n = count_status(wdir, 200)
             t_write = time.time() - t1
-            t1 = time.time()
 
-            if links_tbl.num_rows:
-                # dedup within discovery + drop already-seen (K-bounded table)
-                ldf = links_tbl.to_pandas()
-                ldf = ldf.sort_values(
-                    ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
-                ).drop_duplicates("url_hash")
-                lh = ldf["url_hash"].to_numpy().astype(np.uint64)
-                ldf = ldf[~seen.contains(lh)]
-                links_tbl = pa.Table.from_pandas(ldf, preserve_index=False).cast(
-                    FRONTIER_SCHEMA
-                )
-
-        t_links = time.time() - t1
+        t_links = t_write  # discovery now fused into the fetch pass
 
         # ---- 6. frontier update: rest ∪ denied ∪ links (no dedup shuffle —
         # lazy-deletion PQ; duplicates resolve at a later wave's selection) ---
         t1 = time.time()
         new_frontier = rest
-        extra = pa.concat_tables(
-            [denied, links_tbl] if links_tbl.num_rows else [denied]
-        )
-        if extra.num_rows:
-            new_frontier = rest.union(rd.from_arrow(extra))
+        if denied.num_rows:
+            new_frontier = new_frontier.union(rd.from_arrow(denied))
+        if links_ds is not None and n_discovered:
+            new_frontier = new_frontier.union(links_ds)
         frontier = new_frontier.materialize()
 
         m = dict(
             wave=wave_no,
             **counters,
             fetched_ok=ok_n,
-            discovered=links_tbl.num_rows,
+            discovered=n_discovered,
             frontier_after=frontier.count(),
             seen_size=seen.size(),
             duration_s=round(time.time() - t0, 3),
