@@ -27,16 +27,16 @@ def salted_groupby_sum(
     ds: rd.Dataset, key: str, value: str, n_salt: int = 8, alias: str | None = None
 ) -> rd.Dataset:
     """SUM(value) GROUP BY key with hot-key salting: stage 1 groups by
-    (key, salt) — salt derived from a row-content hash so it is deterministic
-    and evenly spread — stage 2 merges the ≤ n_salt partials per key."""
+    (key, salt), stage 2 merges the ≤ n_salt partials per key. The sum is
+    associative, so the salt need not be content-derived — a block-local
+    row index spreads even the canonical hot-key case where every row of
+    the hot key carries the SAME value (a value-derived salt collapses
+    those rows onto one salt and the straggler partition survives). The
+    result is salt-invariant, so run-to-run block shapes don't matter."""
     alias = alias or f"sum_{value}"
 
     def add_salt(b: pa.Table) -> pa.Table:
-        v = b[value].to_numpy(zero_copy_only=False)
-        # deterministic spread: bit-mixed row value, independent of block order
-        salt = (np.abs(v.view(np.int64) if v.dtype.kind == "f" else v) % n_salt).astype(
-            np.int64
-        )
+        salt = (np.arange(b.num_rows, dtype=np.int64) % n_salt)
         return pa.table({key: b[key], "_salt": pa.array(salt), value: b[value]})
 
     from .agg import combine_partials
@@ -66,10 +66,9 @@ def salted_top_values(
     (The non-associative case where plain pre-aggregation doesn't apply.)"""
 
     def add_salt(b: pa.Table) -> pa.Table:
-        v = b[value].to_numpy(zero_copy_only=False)
-        salt = (np.abs(v.view(np.int64) if v.dtype.kind == "f" else v) % n_salt).astype(
-            np.int64
-        )
+        # block-local row index: spreads identical-value hot keys too (the
+        # top-k merge is order-insensitive, so salt choice never shows)
+        salt = (np.arange(b.num_rows, dtype=np.int64) % n_salt)
         return b.append_column("_salt", pa.array(salt))
 
     def local_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -33,7 +33,11 @@ def read_paged(
 ) -> rd.Dataset:
     """Generic offset pager: ``fetch_page(page, lo, hi)`` runs as one Ray task
     per page (the S4 supplier shape, parallel because offsets are precomputed)."""
-    specs = rd.from_items(page_specs(n_rows, page_size))
+    specs_list = page_specs(n_rows, page_size)
+    # from_items builds ONE block by default — pages would then run
+    # sequentially in a single task; one block per page restores the
+    # embarrassingly-parallel shape (ADVICE r1)
+    specs = rd.from_items(specs_list, override_num_blocks=max(1, len(specs_list)))
 
     def fetch(batch) -> pa.Table:
         return fetch_page(int(batch["page"][0]), int(batch["lo"][0]), int(batch["hi"][0]))

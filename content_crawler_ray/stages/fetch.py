@@ -36,6 +36,7 @@ import pyarrow as pa
 from ..functions import codecs
 
 FETCH_MAX_RETRIES = 3
+RETRY_DELAY_S = 0.0  # production slot: 10 s (conf/ContentCrawlConfiguration.java:90-93)
 
 # worker-process-local corpus cache: {object-ref bytes: (table, index)}
 _WORKER_CORPUS_CACHE: dict = {}
@@ -69,9 +70,15 @@ def fetch_decode_fn(corpus_ref, max_retries: int = FETCH_MAX_RETRIES):
 
 
 def process_fetch_batch(
-    batch: pa.Table, tbl: pa.Table, index: dict, flaky, max_retries: int
+    batch: pa.Table, tbl: pa.Table, index: dict, flaky, max_retries: int,
+    retry_delay: float = RETRY_DELAY_S, sleep=None,
 ) -> pa.Table:
     from ..functions.urls import image_id_of_array
+
+    if sleep is None:
+        import time
+
+        sleep = time.sleep
 
     def probe(image_id: str | None):
         attempts = 0
@@ -85,6 +92,11 @@ def process_fetch_batch(
                 attempts += 1
                 if attempts > max_retries:
                     return (None, 504, str(e))
+                if retry_delay > 0:
+                    # reference policy: delay = retryCount x timeout on 504
+                    # (M/MendeleyDocumentCrawler.java:72-87); sandbox default
+                    # 0 s so tests/bench never sleep, hook injectable
+                    sleep(attempts * retry_delay)
 
     image_ids = image_id_of_array(batch["url"]).to_pylist()
     n = len(batch)
@@ -154,6 +166,17 @@ def process_fetch_batch(
     return out
 
 
+def _batch_part_name(batch: pa.Table) -> str:
+    """Deterministic part name from the batch identity (min/xor of url_hash +
+    row count): Ray tasks are at-least-once, so a task retried after its
+    os.replace completed must OVERWRITE its part, not add a second one —
+    uuid names double-counted those rows in read_fetched/count_status."""
+    h = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if not len(h):
+        return "empty-0"
+    return f"{int(h.min()):016x}-{int(np.bitwise_xor.reduce(h)):016x}-{len(h)}"
+
+
 def fetch_write_links_fn(corpus_ref, wave_dir: str, max_depth: int,
                          max_retries: int = FETCH_MAX_RETRIES):
     """Fused streaming stage: fetch+decode a batch, spool it to its own
@@ -168,7 +191,6 @@ def fetch_write_links_fn(corpus_ref, wave_dir: str, max_depth: int,
     zero times; at 10^10 scale it is the difference between a crawl and a
     shuffle storm."""
     import os
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -179,7 +201,7 @@ def fetch_write_links_fn(corpus_ref, wave_dir: str, max_depth: int,
     def fn(batch: pa.Table) -> pa.Table:
         tbl, index = _corpus_state(corpus_ref)
         fetched = process_fetch_batch(batch, tbl, index, None, max_retries)
-        path = os.path.join(wave_dir, f"part-{uuid.uuid4().hex}.parquet")
+        path = os.path.join(wave_dir, f"part-{_batch_part_name(batch)}.parquet")
         pq.write_table(fetched, path + ".tmp")
         os.replace(path + ".tmp", path)
         return extract(fetched)
@@ -220,7 +242,11 @@ class FetchDecode:
         corpus_ref=None,
         flaky=None,
         max_retries: int = FETCH_MAX_RETRIES,
+        retry_delay: float = RETRY_DELAY_S,
+        sleep=None,
     ):
+        self._retry_delay = retry_delay
+        self._sleep = sleep
         if corpus_ref is not None:
             import ray
 
@@ -236,7 +262,8 @@ class FetchDecode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return process_fetch_batch(
-            batch, self._tbl, self._index, self._flaky, self._max_retries
+            batch, self._tbl, self._index, self._flaky, self._max_retries,
+            retry_delay=self._retry_delay, sleep=self._sleep,
         )
 
 
@@ -334,11 +361,17 @@ def fetch_decode_bucketed_fn(
                 tables[b] = tbl
                 for s, row in idx.items():
                     index[s] = (b, row)
-        # delegate to the shared kernel via a per-batch virtual table
+        # delegate to the shared kernel via a per-batch virtual table:
+        # ONE take per touched bucket (vectorized gather), not a per-row
+        # slice+concat loop
         rows = [index[i] for i in image_ids if i in index]
         if rows:
+            per_bucket: dict[int, list[int]] = {}
+            for b, r in rows:
+                per_bucket.setdefault(b, []).append(r)
             sub = pa.concat_tables(
-                [tables[b].slice(r, 1) for b, r in rows], promote_options="default"
+                [tables[b].take(pa.array(rs, pa.int64())) for b, rs in per_bucket.items()],
+                promote_options="default",
             ).combine_chunks()
             flat_index = {s: j for j, s in enumerate(sub["image_id"].to_pylist())}
         else:
@@ -355,7 +388,6 @@ def fetch_write_links_bucketed_fn(corpus_dir: str, wave_dir: str, max_depth: int
                                   n_buckets: int | None = None):
     """Bucketed variant of the fused fetch→spool→links stage."""
     import os
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -366,7 +398,7 @@ def fetch_write_links_bucketed_fn(corpus_dir: str, wave_dir: str, max_depth: int
 
     def fn(batch: pa.Table) -> pa.Table:
         fetched = inner(batch)
-        path = os.path.join(wave_dir, f"part-{uuid.uuid4().hex}.parquet")
+        path = os.path.join(wave_dir, f"part-{_batch_part_name(batch)}.parquet")
         pq.write_table(fetched, path + ".tmp")
         os.replace(path + ".tmp", path)
         return extract(fetched)

@@ -5,8 +5,10 @@ M/ElasticSearchIndexHandler.java:213-217); here it is explicit, sharded state:
 shard = ``url_hash % n_shards``, each shard an actor holding
 
   - a :class:`~content_crawler_ray.state.cuckoo.CuckooFilter` fast path
-    (definite-negative answers, the common case), and
-  - an exact uint64 tier (python set) that confirms cuckoo positives, so
+    (definite-negative answers, the common case; rebuilt at 2× capacity on
+    overflow), and
+  - an exact uint64 tier (sorted base array + compacting delta array; every
+    probe is a vectorized searchsorted) that confirms cuckoo positives, so
     membership is exact — required for golden seen-set equality. At the
     10^10 design point the exact tier spills to sorted-array Bloom pages
     (state/cuckoo.BloomFilter); in-sandbox scales never trigger the spill.
@@ -23,55 +25,93 @@ import ray
 from .cuckoo import CuckooFilter
 
 
+def _in_sorted(arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``keys`` in a sorted uint64 array."""
+    if not len(arr) or not len(keys):
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.clip(np.searchsorted(arr, keys), 0, len(arr) - 1)
+    return arr[pos] == keys
+
+
 @ray.remote(num_cpus=0.05)
 class SeenShard:
+    """Exact tier = two sorted uint64 arrays (big ``base`` + small recent
+    ``delta``, compacted when the delta grows) — every membership test is a
+    vectorized searchsorted, never a per-key Python loop. The cuckoo filter
+    screens definite negatives first (the common case) and REBUILDS at 2×
+    capacity when an insert overflows, instead of aborting the crawl."""
+
     def __init__(self, capacity_hint: int = 1 << 16):
         self.cuckoo = CuckooFilter(capacity_hint)
-        self.exact: set[int] = set()
+        self._base = np.empty(0, dtype=np.uint64)
+        self._delta = np.empty(0, dtype=np.uint64)
+        self._compact_at = 1 << 16
 
-    def contains(self, keys: np.ndarray) -> np.ndarray:
-        maybe = self.cuckoo.contains(keys)
+    def _member(self, keys: np.ndarray) -> np.ndarray:
         out = np.zeros(len(keys), dtype=bool)
-        idx = np.nonzero(maybe)[0]
+        idx = np.nonzero(self.cuckoo.contains(keys))[0]
         if len(idx):
-            ex = self.exact
-            out[idx] = [int(keys[i]) in ex for i in idx]
+            k = keys[idx]
+            out[idx] = _in_sorted(self._base, k) | _in_sorted(self._delta, k)
         return out
 
+    def _insert_novel(self, novel: np.ndarray) -> None:
+        """novel: sorted unique keys known absent from both tiers."""
+        self._delta = np.union1d(self._delta, novel)
+        if len(self._delta) >= max(self._compact_at, len(self._base) >> 3):
+            self._base = np.union1d(self._base, self._delta)
+            self._delta = np.empty(0, dtype=np.uint64)
+        try:
+            self.cuckoo.insert(novel)
+        except RuntimeError:
+            all_keys = np.union1d(self._base, self._delta)
+            cap = self.cuckoo.n_buckets * 4
+            while True:
+                cap *= 2
+                rebuilt = CuckooFilter(cap)
+                try:
+                    rebuilt.insert(all_keys)
+                    break
+                except RuntimeError:
+                    continue
+            self.cuckoo = rebuilt
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return self._member(keys)
+
     def insert(self, keys: np.ndarray) -> int:
-        novel = [k for k in keys.tolist() if k not in self.exact]
-        if novel:
-            self.exact.update(novel)
-            self.cuckoo.insert(np.array(novel, dtype=np.uint64))
+        u = np.unique(keys)
+        novel = u[~self._member(u)]
+        if len(novel):
+            self._insert_novel(novel)
         return len(novel)
 
     def contains_and_insert(self, keys: np.ndarray) -> np.ndarray:
         """True where the key was already present; inserts the rest.
         First occurrence within the batch wins (duplicates → True)."""
-        out = np.zeros(len(keys), dtype=bool)
-        ex = self.exact
-        novel = []
-        for i, k in enumerate(keys.tolist()):
-            if k in ex:
-                out[i] = True
-            else:
-                ex.add(k)
-                novel.append(k)
-        if novel:
-            self.cuckoo.insert(np.array(novel, dtype=np.uint64))
+        u, first_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
+        present_u = self._member(u)
+        out = present_u[inv]
+        is_first = np.zeros(len(keys), dtype=bool)
+        is_first[first_idx] = True
+        out |= ~is_first
+        novel = u[~present_u]
+        if len(novel):
+            self._insert_novel(novel)
         return out
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self._base) + len(self._delta)
 
     def snapshot(self) -> np.ndarray:
-        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        return np.union1d(self._base, self._delta)
 
     def restore(self, keys: np.ndarray) -> None:
-        self.exact = set(int(k) for k in keys)
-        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self.exact)))
-        if len(keys):
-            self.cuckoo.insert(keys.astype(np.uint64))
+        self._base = np.unique(keys.astype(np.uint64))
+        self._delta = np.empty(0, dtype=np.uint64)
+        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self._base)))
+        if len(self._base):
+            self.cuckoo.insert(self._base)
 
 
 class SeenSet:

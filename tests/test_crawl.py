@@ -137,3 +137,64 @@ def test_bucketed_corpus_path_equals_broadcast(ray_session, corpus_and_seeds, go
     assert order == [tuple(x) for x in golden["golden_order"]]
     ok = fetched[fetched.status == 200]
     assert (ok.psnr >= 40).all() and ok.phash_ok.all()
+
+
+def test_fetch_retry_backoff_delay(ray_session, corpus_and_seeds):
+    """Backoff = retryCount × delay on 504 (M/MendeleyDocumentCrawler.java:72-87);
+    injectable sleep so the test records, not waits."""
+    from content_crawler_ray.stages.fetch import FetchDecode, TransientFetchError
+
+    _, _, corpus_path, _ = corpus_and_seeds
+    sleeps: list[float] = []
+
+    def flaky(image_id, attempts):
+        if image_id and image_id.endswith("1") and attempts < 2:
+            raise TransientFetchError("synthetic 504")
+
+    batch = pa.table(
+        {
+            "url": pa.array([f"http://h0.com/p/img-{i:012d}" for i in range(2)]),
+            "url_hash": pa.array(np.arange(2, dtype=np.uint64), pa.uint64()),
+        }
+    )
+    stage = FetchDecode(
+        corpus_path, flaky=flaky, max_retries=3, retry_delay=10.0, sleep=sleeps.append
+    )
+    out = stage(batch)
+    assert out["status"].to_pylist() == [200, 200]
+    assert sleeps == [10.0, 20.0]  # 1×t then 2×t, like the reference
+
+
+def test_spool_part_names_deterministic(ray_session, corpus_and_seeds, tmp_path):
+    """A retried fetch task overwrites its spool part (deterministic name
+    from the batch's url_hash identity) instead of duplicating rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from content_crawler_ray.stages.fetch import fetch_write_links_fn
+
+    corpus, _, corpus_path, _ = corpus_and_seeds
+    import ray as _ray
+
+    ref = _ray.put(corpus)
+    wdir = str(tmp_path / "w0")
+    os.makedirs(wdir)
+    fn = fetch_write_links_fn(ref, wdir, max_depth=3)
+    batch = pa.table(
+        {
+            "url": pa.array([f"http://h0.com/p/img-{i:012d}" for i in range(3)]),
+            "url_hash": pa.array(np.arange(3, dtype=np.uint64), pa.uint64()),
+            "host": pa.array(["h0.com"] * 3),
+            "priority": pa.array([1.0] * 3, pa.float32()),
+            "depth": pa.array([0] * 3, pa.int32()),
+            "seed_rank": pa.array([0, 1, 2], pa.int64()),
+            "fetch_seq": pa.array([0, 1, 2], pa.int64()),
+            "wave": pa.array([0] * 3, pa.int32()),
+        }
+    )
+    fn(batch)
+    fn(batch)  # simulated at-least-once replay of the same task
+    parts = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+    assert len(parts) == 1  # overwrote, not appended
+    assert pq.read_table(os.path.join(wdir, parts[0])).num_rows == 3

@@ -62,3 +62,23 @@ def test_politeness_reserve(ray_session):
     pol2 = Politeness.create(2)
     pol2.restore(snap)
     assert pol2.reserve("h1", 1) == 4
+
+
+def test_seen_shard_cuckoo_overflow_resizes(ray_session):
+    """A shard past its cuckoo capacity_hint rebuilds the filter at 2x
+    instead of aborting the crawl (ADVICE r1); membership stays exact."""
+    import numpy as np
+
+    from content_crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet.create(1, capacity_hint=256)  # tiny filter, force overflow
+    rng = np.random.default_rng(3)
+    keys = rng.integers(1, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    first = seen.contains_and_insert(keys)
+    uniq, first_idx = np.unique(keys, return_index=True)
+    expect_false = np.zeros(len(keys), dtype=bool)
+    expect_false[first_idx] = True
+    assert (first == ~expect_false).all()
+    again = seen.contains(keys)
+    assert again.all()
+    assert seen.size() == len(uniq)
