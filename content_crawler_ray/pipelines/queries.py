@@ -72,34 +72,57 @@ FROM documents
 #   (M/ElasticSearchIndexHandler.java:464-488)
 # --------------------------------------------------------------------------
 
-_ISO3 = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "zho"}
-
-
 def q_t2_normalize(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    """Full ISO-639 normalization (M/ElasticSearchIndexHandler.java:470-485):
+    the engine receives the language in any of the reference's accepted
+    presentations — 2-letter code, 3-letter code, English name (any case),
+    native name — plus planted unmatched tokens, and must normalize all of
+    them through the ISO dimension table (functions/langnorm.py) with the
+    UNKNOWN fallback. The oracle computes the expected iso3 independently
+    of the presentation, so a matching-path bug cannot cancel out."""
+    from ..functions.langnorm import ISO639, normalize_language_array
 
-    def fn(b: pa.Table) -> pa.Table:
-        lang = b["lang"]
-        expr = pc.cast(pa.scalar("und"), pa.string())
-        for k, v in _ISO3.items():
-            expr = pc.if_else(pc.equal(lang, k), pa.scalar(v), expr)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    meta = {iso1: (iso3, eng, nat) for iso1, iso3, eng, nat in ISO639}
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        lang = b["lang"].fillna("en")
+        i3 = lang.map(lambda l: meta[l][0] if l in meta else l)
+        eng = lang.map(lambda l: meta[l][1] if l in meta else l)
+        nat = lang.map(lambda l: meta[l][2] if l in meta else l)
+        v = doc_id % 5
+        presented = np.select(
+            [v == 0, v == 1, v == 2, v == 3],
+            [
+                lang.to_numpy(),  # 2-letter code
+                i3.to_numpy(),  # 3-letter code
+                eng.str.upper().to_numpy(),  # English name, case-insensitive
+                nat.to_numpy(),  # native name
+            ],
+            default=eng.str.lower().to_numpy(),
+        )
+        presented = np.where(doc_id % 29 == 0, "tlh", presented)  # UNKNOWN path
+        norm = normalize_language_array(pa.array(presented, pa.string()))
         n = len(b)
         return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "langIso3": expr,
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "langIso3": norm,
                 "contentType": pa.array(["literature"] * n, pa.string()),
                 "searchable": pa.array([True] * n, pa.bool_()),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 SQL_T2 = """
 SELECT doc_id,
-       CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'
-                 WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'zho' ELSE 'und' END AS "langIso3",
+       CASE WHEN doc_id % 29 = 0 THEN 'und' ELSE
+         CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'
+                   WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'zho' ELSE 'und' END
+       END AS "langIso3",
        'literature' AS "contentType", TRUE AS searchable
 FROM documents
 """

@@ -216,3 +216,23 @@ def test_dispatch_tags_list_set_accumulation():
     assert rows[3]["topics"] == ["CITIZEN_SCIENCE"]
     assert rows[3]["countries_researcher"] == ["FR", "US"]
     assert rows[3]["open_access"] is True and rows[3]["peer_review"] is False
+
+
+def test_language_normalization_matching_paths():
+    """All four reference matching forms (2-letter, 3-letter, English name,
+    native name; case-insensitive) + UNKNOWN fallback
+    (M/ElasticSearchIndexHandler.java:470-485)."""
+    import pyarrow as pa
+
+    from content_crawler_ray.functions.langnorm import (
+        normalize_language,
+        normalize_language_array,
+    )
+
+    arr = pa.array(
+        ["de", "deu", "GERMAN", "Deutsch", "français", "中文", "tlh", None, "PORTUGUÊS"]
+    )
+    got = normalize_language_array(arr).to_pylist()
+    assert got == ["deu", "deu", "deu", "deu", "fra", "zho", "und", "und", "por"]
+    assert normalize_language("Norwegian Bokmål") == "nob"
+    assert normalize_language("") == "und"
