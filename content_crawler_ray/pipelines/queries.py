@@ -1083,8 +1083,122 @@ SQL_T7 = """
 SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events
 """
 
+# --------------------------------------------------------------------------
+# T7/T8/T9 real shapes — TRUE nested Arrow columns (struct, list<struct>,
+# map<locale,string>) built per batch, flattened by the generic kernels in
+# functions/nested.py (C/EsDocBuilder.java:80-237). The oracle constructs
+# the identical nested values in DuckDB SQL and flattens them with DuckDB's
+# own struct/list/map operators — two independent nested-type pipelines
+# must agree value-for-value.
+# --------------------------------------------------------------------------
+
+def q_t7_nested_flatten(sf_dir: str):
+    from ..functions.nested import (
+        collapse_locale_map,
+        list_join,
+        list_struct_project,
+        list_sum_int,
+        struct_project,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def build_nested(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        # struct column: meta = {title, year}
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array(np.char.add("Doc ", d.astype(str)), pa.string()),
+                pa.array(2000 + d % 25, pa.int64()),
+            ],
+            names=["title", "year"],
+        )
+        # list<struct> column: contributors (1 + doc_id%3 entries)
+        cnt = 1 + (d % 3)
+        parent = np.repeat(np.arange(n), cnt)
+        pos = np.arange(len(parent)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        s = d[parent] + pos
+        contrib_flat = pa.StructArray.from_arrays(
+            [
+                pa.array(np.char.add("c", (s % 7).astype(str)), pa.string()),
+                pa.array(s % 5, pa.int64()),
+            ],
+            names=["name", "weight"],
+        )
+        off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(cnt, out=off[1:])
+        contributors = pa.ListArray.from_arrays(pa.array(off, pa.int32()), contrib_flat)
+        # map<locale,string> column: 'en' always; 'de' when doc_id%3==0
+        has_de = (d % 3) == 0
+        m_cnt = 1 + has_de.astype(np.int64)
+        m_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(m_cnt, out=m_off[1:])
+        keys, items = [], []
+        en_vals = np.char.add("en-", d.astype(str))
+        de_vals = np.char.add("de-", d.astype(str))
+        for i in range(n):  # small per-batch assembly of the map fixture only
+            keys.append("en")
+            items.append(en_vals[i])
+            if has_de[i]:
+                keys.append("de")
+                items.append(de_vals[i])
+        title_ml = pa.MapArray.from_arrays(
+            pa.array(m_off, pa.int32()),
+            pa.array(keys, pa.string()),
+            pa.array(items, pa.string()),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "meta": meta,
+                "contributors": contributors,
+                "title_ml": title_ml,
+            }
+        )
+
+    def flatten(b: pa.Table) -> pa.Table:
+        names = list_struct_project(b["contributors"], "name")
+        weights = list_struct_project(b["contributors"], "weight")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "title": struct_project(b["meta"], "title"),
+                "year": struct_project(b["meta"], "year"),
+                "contrib_names": list_join(names, ","),
+                "contrib_weight_sum": list_sum_int(weights),
+                "title_localized": collapse_locale_map(b["title_ml"], "de", "en"),
+            }
+        )
+
+    return ds.map_batches(build_nested, batch_format="pyarrow").map_batches(
+        flatten, batch_format="pyarrow"
+    )
+
+
+SQL_T7_NESTED = """
+WITH nested AS (
+  SELECT doc_id,
+    {'title': 'Doc ' || CAST(doc_id AS VARCHAR), 'year': 2000 + doc_id % 25} AS meta,
+    [{'name': 'c' || CAST((doc_id + i) % 7 AS VARCHAR), 'weight': (doc_id + i) % 5}
+     FOR i IN range(1 + doc_id % 3)] AS contributors,
+    CASE WHEN doc_id % 3 = 0
+         THEN MAP(['en','de'], ['en-' || CAST(doc_id AS VARCHAR), 'de-' || CAST(doc_id AS VARCHAR)])
+         ELSE MAP(['en'], ['en-' || CAST(doc_id AS VARCHAR)]) END AS title_ml
+  FROM documents)
+SELECT doc_id,
+  struct_extract(meta, 'title') AS title,
+  CAST(struct_extract(meta, 'year') AS BIGINT) AS year,
+  array_to_string([c.name FOR c IN contributors], ',') AS contrib_names,
+  CAST(list_aggregate([c.weight FOR c IN contributors], 'sum') AS BIGINT) AS contrib_weight_sum,
+  COALESCE(map_extract(title_ml, 'de')[1], map_extract(title_ml, 'en')[1]) AS title_localized
+FROM nested
+"""
+
+
 QUERIES["q_s2_key_paged"] = (q_s2_key_paged, SQL_S2)
 QUERIES["q_t7_props_extract"] = (q_t7_props_extract, SQL_T7)
+QUERIES["q_t7_nested_flatten"] = (q_t7_nested_flatten, SQL_T7_NESTED)
 
 
 # --------------------------------------------------------------------------

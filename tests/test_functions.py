@@ -236,3 +236,38 @@ def test_language_normalization_matching_paths():
     assert got == ["deu", "deu", "deu", "deu", "fra", "zho", "und", "und", "por"]
     assert normalize_language("Norwegian Bokmål") == "nob"
     assert normalize_language("") == "und"
+
+
+def test_nested_kernels():
+    """struct/list<struct>/map<locale,string> flattening (T7/T8/T9 real
+    shapes, C/EsDocBuilder.java:80-237)."""
+    import pyarrow as pa
+
+    from content_crawler_ray.functions.nested import (
+        collapse_locale_map,
+        list_join,
+        list_struct_project,
+        list_sum_int,
+        struct_project,
+    )
+
+    meta = pa.array(
+        [{"title": "A", "year": 2001}, {"title": "B", "year": 2002}],
+        pa.struct([("title", pa.string()), ("year", pa.int64())]),
+    )
+    assert struct_project(meta, "title").to_pylist() == ["A", "B"]
+
+    contribs = pa.array(
+        [[{"name": "x", "weight": 1}, {"name": "y", "weight": 2}], []],
+        pa.list_(pa.struct([("name", pa.string()), ("weight", pa.int64())])),
+    )
+    names = list_struct_project(contribs, "name")
+    assert names.to_pylist() == [["x", "y"], []]
+    assert list_join(names).to_pylist() == ["x,y", ""]
+    assert list_sum_int(list_struct_project(contribs, "weight")).to_pylist() == [3, 0]
+
+    m = pa.array(
+        [[("en", "hello"), ("de", "hallo")], [("en", "bye")], []],
+        pa.map_(pa.string(), pa.string()),
+    )
+    assert collapse_locale_map(m, "de", "en").to_pylist() == ["hallo", "bye", None]

@@ -126,6 +126,7 @@ FAST_ORACLE_QUERIES = [
     "q_j6_hash_join",
     "q_t6_country_region",
     "q_t7_props_extract",
+    "q_t7_nested_flatten",
     "q_s2_key_paged",
     "q_st4_taxa_expand",
     "q_session_windows",
