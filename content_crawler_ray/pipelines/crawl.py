@@ -259,6 +259,11 @@ def run_crawl(
 
         corpus_ref = ray.put(pq.read_table(corpus_path))
 
+    # staging→publish protocol (E:137-183 analog): waves spool under
+    # _staging/run_<id>/; the PUBLISHED pointer flips only when this call
+    # returns, so readers never observe a partial run (tableio.publish_run)
+    run_id, data_root = tableio.begin_run(out_dir, resume=cfg.resume)
+
     start_wave = 0
     frontier = None
     metrics: list[dict] = []
@@ -323,7 +328,7 @@ def run_crawl(
             # it straight to its own parquet part in the wave dir, and emit
             # ONLY the link rows — the 30 KB/row payloads never enter the
             # object store (see stages/fetch.py::fetch_write_links_fn)
-            wdir = tableio.wave_data_dir(out_dir, wave_no)
+            wdir = tableio.wave_data_dir(data_root, wave_no)
             if os.path.isdir(wdir):  # uncommitted partial from a crashed run
                 shutil.rmtree(wdir)
             os.makedirs(wdir, exist_ok=True)
@@ -407,17 +412,27 @@ def run_crawl(
         if m["frontier_after"] == 0:
             break
 
+    # the run completed (frontier exhausted or wave budget reached): flip
+    # the published pointer and clean up superseded staging runs
+    tableio.publish_run(out_dir, run_id, wave_no)
+
     return {
         "out_dir": out_dir,
         "n_waves": wave_no - start_wave,
         "metrics": metrics,
         "seen_size": seen.size(),
+        "run_id": run_id,
     }
 
 
 def read_fetched(out_dir: str) -> rd.Dataset:
-    """All fetched rows across waves (the crawl's product)."""
+    """All fetched rows across waves of the PUBLISHED run (the crawl's
+    product). Resolves through PUBLISHED.json, so an in-flight or crashed
+    run's staging output is invisible; falls back to the legacy flat layout
+    when no pointer exists."""
     import glob
 
-    files = sorted(glob.glob(os.path.join(out_dir, "wave=*", "*.parquet")))
+    rid = tableio.published_run(out_dir)
+    root = tableio.run_dir(out_dir, rid) if rid is not None else out_dir
+    files = sorted(glob.glob(os.path.join(root, "wave=*", "*.parquet")))
     return rd.read_parquet(files)

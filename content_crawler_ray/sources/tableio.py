@@ -12,8 +12,11 @@ directories:
     state is invisible, like M/ElasticSearchIndexHandler.java:240-242),
   - resume = read the highest committed manifest and reload its state.
 
-Output data lays out as ``out/wave=<n>/*.parquet`` — one directory per wave so
-a resumed run skips finished waves (resumable-output requirement).
+Output data lays out as ``out/_staging/run_<id>/wave=<n>/*.parquet`` — one
+directory per wave so a resumed run skips finished waves (resumable-output
+requirement); a completed run atomically flips ``out/PUBLISHED.json`` to its
+run id and removes superseded runs (see the run-level publish section below),
+so readers never observe a partial run.
 """
 
 from __future__ import annotations
@@ -192,3 +195,71 @@ def read_upsert_table(table_dir: str) -> pa.Table:
         os.path.join(table_dir, f) for f in os.listdir(table_dir) if f.endswith(".parquet")
     )
     return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
+# --------------------------------------------------------------------------
+# Run-level publish — the reference's staging-index + alias-swap + old-index
+# cleanup (E:137-183): a run writes its wave output under
+# ``out/_staging/run_<id>/wave=<n>/``; only a COMPLETED run flips the
+# ``PUBLISHED.json`` pointer (tmp + atomic rename) and then removes stale
+# run dirs. Readers resolve through the pointer, so a crashed/in-flight run
+# is never observable — they keep seeing the previous published run.
+# --------------------------------------------------------------------------
+
+PUBLISHED = "PUBLISHED.json"
+_CURRENT = "CURRENT"
+
+
+def staging_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "_staging")
+
+
+def run_dir(out_dir: str, run_id: int) -> str:
+    return os.path.join(staging_root(out_dir), f"run_{run_id:04d}")
+
+
+def begin_run(out_dir: str, resume: bool = False) -> tuple[int, str]:
+    """Allocate a fresh staging run dir (or re-enter the in-flight one when
+    resuming); records the in-flight id in ``_staging/CURRENT``."""
+    root = staging_root(out_dir)
+    os.makedirs(root, exist_ok=True)
+    cur = os.path.join(root, _CURRENT)
+    if resume and os.path.exists(cur):
+        with open(cur) as f:
+            rid = int(f.read().strip())
+    else:
+        existing = [
+            int(n.removeprefix("run_"))
+            for n in os.listdir(root)
+            if n.startswith("run_")
+        ]
+        rid = max(existing, default=-1) + 1
+        tmp = cur + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(rid))
+        os.replace(tmp, cur)
+    d = run_dir(out_dir, rid)
+    os.makedirs(d, exist_ok=True)
+    return rid, d
+
+
+def publish_run(out_dir: str, run_id: int, n_waves: int) -> None:
+    """Atomic staging→publish flip, then old-run cleanup (E:146-183)."""
+    import shutil
+
+    tmp = os.path.join(out_dir, PUBLISHED + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"run": run_id, "n_waves": n_waves}, f)
+    os.replace(tmp, os.path.join(out_dir, PUBLISHED))  # the alias swap
+    root = staging_root(out_dir)
+    for name in os.listdir(root):
+        if name.startswith("run_") and int(name.removeprefix("run_")) != run_id:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def published_run(out_dir: str) -> int | None:
+    path = os.path.join(out_dir, PUBLISHED)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["run"])

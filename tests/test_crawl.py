@@ -198,3 +198,47 @@ def test_spool_part_names_deterministic(ray_session, corpus_and_seeds, tmp_path)
     parts = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
     assert len(parts) == 1  # overwrote, not appended
     assert pq.read_table(os.path.join(wdir, parts[0])).num_rows == 3
+
+
+def test_publish_pointer_hides_partial_runs(ray_session, corpus_and_seeds, tmp_path):
+    """Staging→publish flip (E:137-183 analog): a completed run publishes
+    atomically; a later run that dies between waves leaves the published
+    output exactly as it was, and a completed rerun supersedes + cleans up."""
+    import os
+
+    from content_crawler_ray.config import CrawlConfig
+    from content_crawler_ray.pipelines.crawl import read_fetched, run_crawl
+    from content_crawler_ray.sources import tableio
+
+    corpus, seeds, corpus_path, _ = corpus_and_seeds
+    out = str(tmp_path / "out")
+    cfg = CrawlConfig(
+        wave_size=60, host_budget=3, max_waves=20, n_seen_shards=2,
+        n_politeness_shards=2, fetch_concurrency=2, fetch_batch_size=64,
+        checkpoint=False,
+    )
+    run_crawl(corpus_path, seeds, out, cfg)
+    baseline = read_fetched(out).to_pandas().sort_values("url_hash").reset_index(drop=True)
+    assert len(baseline) > 0
+    published_before = tableio.published_run(out)
+
+    # simulate a run killed between waves: a fresh staging run dir with a
+    # partial wave spool and no publish flip
+    rid, droot = tableio.begin_run(out, resume=False)
+    assert rid != published_before
+    os.makedirs(tableio.wave_data_dir(droot, 0), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    pq.write_table(corpus.slice(0, 1), os.path.join(tableio.wave_data_dir(droot, 0), "part-x.parquet"))
+
+    # readers still resolve the published run — the partial run is invisible
+    again = read_fetched(out).to_pandas().sort_values("url_hash").reset_index(drop=True)
+    assert again.equals(baseline)
+
+    # a completed rerun publishes a new run id and cleans up stale staging
+    res = run_crawl(corpus_path, seeds, out, cfg)
+    assert tableio.published_run(out) == res["run_id"]
+    final = read_fetched(out).to_pandas().sort_values("url_hash").reset_index(drop=True)
+    assert final.equals(baseline)  # same seeds → same product
+    runs = [n for n in os.listdir(tableio.staging_root(out)) if n.startswith("run_")]
+    assert runs == [f"run_{res['run_id']:04d}"]  # old runs removed
