@@ -195,3 +195,35 @@ def simhash64(tokens: list[str]) -> int:
         if v[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
     return int(out.astype(np.int64))
+
+
+def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """Vectorized 64-bit SimHash of a whole batch of documents (int64 out).
+
+    One FNV pass over ALL tokens of the batch (hash64_array's padded-matrix
+    kernel), then per-doc bit-sign sums via ``np.add.reduceat`` over the doc
+    offsets — the per-doc 64×n Python bit loop of :func:`simhash64` never
+    runs. Empty docs hash to 0, matching the scalar kernel."""
+    import pyarrow as pa
+
+    from .hashing import hash64_array
+
+    n = len(token_lists)
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = [t for ts in token_lists for t in ts]
+    h = hash64_array(pa.array(flat, pa.string()))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    signs = (2 * bits.astype(np.int16) - 1)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    nz = lens > 0
+    sums = np.add.reduceat(signs, offsets[nz], axis=0)
+    packed = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = packed.view(np.int64)
+    return out

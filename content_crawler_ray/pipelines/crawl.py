@@ -65,6 +65,7 @@ from ..functions.hashing import hash64_array
 from ..functions.urls import canonicalize_array, host_of_array
 from ..sources import tableio
 from ..stages.fetch import (
+    count_rows,
     count_status,
     fetch_write_links_bucketed_fn,
     fetch_write_links_fn,
@@ -356,6 +357,18 @@ def run_crawl(
             t1 = time.time()
             # column-pruned status scan of the spooled wave (metrics only)
             ok_n = count_status(wdir, 200)
+            # A6 count reconciliation (the reference cross-checks the
+            # Mendeley-Count total against what it indexed,
+            # M/MendeleyPager.java:121-122, README.md:32-49): every granted
+            # row must have been spooled exactly once
+            spooled = count_rows(wdir)
+            if spooled != granted.num_rows:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "wave %d count mismatch: granted=%d spooled=%d",
+                    wave_no, granted.num_rows, spooled,
+                )
             t_write = time.time() - t1
 
         t_links = t_write  # discovery now fused into the fetch pass
@@ -374,6 +387,8 @@ def run_crawl(
             wave=wave_no,
             **counters,
             fetched_ok=ok_n,
+            spooled=spooled if granted.num_rows else 0,
+            count_match=bool(spooled == granted.num_rows) if granted.num_rows else True,
             discovered=n_discovered,
             frontier_after=frontier.count(),
             seen_size=seen.size(),

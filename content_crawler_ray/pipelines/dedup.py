@@ -353,7 +353,9 @@ def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": toks.map(T.simhash64).astype(np.int64),
+                # one vectorized pass over the whole batch's tokens — not a
+                # per-row 64xN Python bit loop
+                "simhash": T.simhash64_batch(toks.tolist()),
             }
         )
 

@@ -209,6 +209,20 @@ def fetch_write_links_fn(corpus_ref, wave_dir: str, max_depth: int,
     return fn
 
 
+def count_rows(wave_dir: str) -> int:
+    """Total spooled rows of a wave from parquet FOOTER metadata only (no
+    column reads) — the cheap side of the count reconciliation (A6)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(wave_dir, "part-*.parquet"))
+    )
+
+
 def count_status(wave_dir: str, code: int = 200) -> int:
     """Column-pruned scan of the spooled wave (reads ONLY the status column);
     IO-bound, so the per-file reads run on a thread pool."""

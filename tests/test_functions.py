@@ -271,3 +271,17 @@ def test_nested_kernels():
         pa.map_(pa.string(), pa.string()),
     )
     assert collapse_locale_map(m, "de", "en").to_pylist() == ["hallo", "bye", None]
+
+
+def test_simhash_batch_equals_scalar():
+    import numpy as np
+
+    from content_crawler_ray.functions import text as T
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(40)]
+    docs = [list(rng.choice(words, size=int(rng.integers(0, 30)))) for _ in range(50)]
+    docs[7] = []  # empty doc → 0
+    got = T.simhash64_batch(docs)
+    want = np.array([T.simhash64(d) for d in docs], dtype=np.int64)
+    assert (got == want).all()
