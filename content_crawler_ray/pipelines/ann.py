@@ -78,20 +78,79 @@ def ann_topk(
     )
 
 
+def train_centroids(
+    ds: rd.Dataset, n_centroids: int = 16, n_iters: int = 3, stride: int | None = None
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) coarse-centroid training.
+
+    Init = ``n_centroids`` rows spread across the vec_id range (stride
+    sampling — deterministic and better-separated than 'first k rows').
+    Each iteration is ONE streaming pass: every batch assigns its vectors
+    to the nearest centroid and emits k partial (count, sum-vector) rows;
+    the driver combines k×dim floats and renormalizes — the dataset itself
+    is never materialized. Spherical Lloyd is monotone in the summed cosine
+    objective, so n_iters bounds work, not correctness."""
+    if stride is None:
+        n_rows = ds.count()
+        stride = max(1, n_rows // n_centroids)
+
+    def _stride_rows(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % stride == 0))
+
+    seed = (
+        ds.map_batches(_stride_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cm = _normalize(np.stack(seed["embedding"].to_numpy()[:n_centroids]).astype(np.float64))
+
+    for _ in range(n_iters):
+        cm_ref = ray.put(cm)
+        kc, dim = cm.shape
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cm_ref)
+            vm = _normalize(_matrix(batch["embedding"]))
+            assign = np.argmax(vm @ c.T, axis=1)
+            counts = np.bincount(assign, minlength=kc).astype(np.int64)
+            sums = np.zeros((kc, dim))
+            np.add.at(sums, assign, vm)
+            return pa.table(
+                {
+                    "centroid": pa.array(np.arange(kc), pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        counts = p.groupby("centroid")["count"].sum().to_numpy()
+        sums = np.zeros((kc, dim))
+        for cid, grp in p.groupby("centroid"):
+            sums[int(cid)] = np.sum(np.stack(grp["sum"].to_numpy()), axis=0)
+        nonzero = counts > 0
+        new_cm = cm.copy()
+        new_cm[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+        cm = new_cm
+    return cm
+
+
 def ivf_topk(
     embeddings_path: str,
     n_queries: int = 5,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    train_iters: int = 2,
 ) -> rd.Dataset:
-    """IVF-bucketed approximate top-k: coarse centroids = the first
-    ``n_centroids`` vectors (deterministic, no training loop); assignment is
+    """IVF-bucketed approximate top-k: coarse centroids trained by
+    distributed spherical k-means (``train_centroids``); assignment is
     one vectorized argmax per batch; search scans only ``n_probe`` buckets."""
     ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-    head = ds.filter(expr=f"vec_id < {max(n_centroids, n_queries)}").to_pandas()
+    cm = train_centroids(ds, n_centroids, n_iters=train_iters)
+    head = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     head = head.sort_values("vec_id")
-    cm = _normalize(np.stack(head["embedding"].to_numpy()[:n_centroids]).astype(np.float64))
     qdf = head[head["vec_id"] < n_queries]
     qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     qids = qdf["vec_id"].to_numpy()

