@@ -88,9 +88,19 @@ def run_bench() -> dict:
     corpus_ref = ray.put(pq.read_table(corpus_path))  # staging, untimed
     crawl_mod.run_crawl(corpus_path, warm_seeds, warm_out, warm_cfg, corpus_ref=corpus_ref)
 
-    t0 = time.time()
-    res = crawl_mod.run_crawl(corpus_path, seeds, out, cfg, corpus_ref=corpus_ref)
-    headline = time.time() - t0
+    # VM noise on this box is ±30% run-to-run (BASELINE.md); BENCH_REPEATS>1
+    # times the identical job N times (fresh output dir each run, same warm
+    # worker pool) and reports the MIN — the noise-floor estimate of engine
+    # capability, used by --scaling so the efficiency ratio is not a ratio
+    # of two noise draws.
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    runs = []
+    for _ in range(repeats):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        res = crawl_mod.run_crawl(corpus_path, seeds, out, cfg, corpus_ref=corpus_ref)
+        runs.append(time.time() - t0)
+    headline = min(runs)
     fetched = sum(m["granted"] for m in res["metrics"])
     dequeued = sum(m["wavefront"] for m in res["metrics"])
 
@@ -131,6 +141,7 @@ def run_bench() -> dict:
         "urls_per_sec": round(fetched / headline, 1),
         "frontier_dequeue_per_sec": round(dequeued / headline, 1),
         "n_waves": res["n_waves"],
+        "runs": [round(r, 3) for r in runs],
     }
     ray.shutdown()
     return result
@@ -141,6 +152,7 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        env.setdefault("BENCH_REPEATS", "3")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -165,6 +177,8 @@ def run_scaling() -> dict:
         "lo_cpus": lo, "hi_cpus": hi,
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
+        "runs_lo": r_lo.get("runs"),
+        "runs_hi": r_hi.get("runs"),
         "urls_per_sec_8": r_lo["urls_per_sec"],
         "urls_per_sec_32": r_hi["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),

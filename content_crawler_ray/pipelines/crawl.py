@@ -77,6 +77,11 @@ from ..state.seen import SeenSet
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 
+# discovery sets at or below this size skip the bucketed dedup shuffle for a
+# single coalesce+task (pure fixed-cost win; at 1M-row waves the bucketed
+# path engages)
+SMALL_LINKS_MAX = 500_000
+
 
 def prepare_frontier(seeds: rd.Dataset) -> rd.Dataset:
     """Raw seed rows (url, priority, depth, seed_rank) → canonical frontier.
@@ -172,14 +177,51 @@ def _links_dedup_seen(links: rd.Dataset, seen: SeenSet, n_buckets: int = 16) -> 
         g = g.sort_values(
             ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
         )
-        g = g.drop_duplicates("url_hash").drop(columns=["_b"])
+        g = g.drop_duplicates("url_hash")
+        if "_b" in g.columns:
+            g = g.drop(columns=["_b"])
         h = g["url_hash"].to_numpy().astype(np.uint64)
         return g[~seen.contains(h)]
+
+    to_schema = lambda b: b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)  # noqa: E731
+
+    n_links = links.count()  # links is materialized by the caller — metadata-only
+    if n_links <= SMALL_LINKS_MAX:
+        # small discovery set: one coalesce + one task replace the whole
+        # sort round (a bucketed shuffle is pure fixed cost here; its reduce
+        # would see these rows in one bucket's worth of work anyway). Same
+        # kernel, same determinism, still zero driver bytes.
+        return (
+            links.repartition(1)
+            .map_batches(dedup_filter, batch_format="pandas", batch_size=None)
+            .map_batches(to_schema, batch_format="pyarrow")
+        )
 
     return (
         links.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(dedup_filter, batch_format="pandas")
+        .map_batches(to_schema, batch_format="pyarrow")
+    )
+
+
+def _fused_small_wave(granted: pa.Table, stage_fn, seen: SeenSet) -> rd.Dataset:
+    """Tail-wave fast path: the granted set fits one block, so fetch+spool,
+    global link dedup and the seen filter run as consecutive map stages of a
+    single pipeline round — same kernels, same determinism (one block ⇒ the
+    in-task dedup IS global), zero driver bytes."""
+
+    def dedup_filter(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
+        ).drop_duplicates("url_hash")
+        h = g["url_hash"].to_numpy().astype(np.uint64)
+        return g[~seen.contains(h)]
+
+    return (
+        rd.from_arrow(granted)
+        .map_batches(stage_fn, batch_format="pyarrow", batch_size=None)
+        .map_batches(dedup_filter, batch_format="pandas", batch_size=None)
         .map_batches(
             lambda b: b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
             batch_format="pyarrow",
@@ -339,19 +381,29 @@ def run_crawl(
                 if bucketed_corpus
                 else fetch_write_links_fn(corpus_ref, wdir, cfg.max_depth)
             )
-            raw_links = (
-                rd.from_arrow(granted)
-                .repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
-                .map_batches(
-                    stage_fn,
-                    batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
+            if granted.num_rows <= 2 * cfg.fetch_batch_size:
+                # tail wave: single-block fetch → in-task global dedup in ONE
+                # pipeline round (each extra materialize round costs ~1 s of
+                # pure scheduling; tail waves are all fixed cost)
+                links_ds = _fused_small_wave(granted, stage_fn, seen).materialize()
+            else:
+                raw_links = (
+                    rd.from_arrow(granted)
+                    .repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
+                    .map_batches(
+                        stage_fn,
+                        batch_format="pyarrow",
+                        batch_size=cfg.fetch_batch_size,
+                    )
                 )
-            )
-            # self-dedup + seen-filter as Dataset stages; materialize ONCE
-            # (the fused fetch side effect executes exactly here, and link
-            # rows stay in the object store — zero driver bytes per wave)
-            links_ds = _links_dedup_seen(raw_links, seen).materialize()
+                # materialize the fetch output FIRST (side effect executes
+                # exactly once, link rows stay in the object store), THEN run
+                # the dedup shuffle on the materialized blocks: feeding the
+                # fetch straight into an all-to-all lets that operator's
+                # resource reservation throttle the fetch stage (measured
+                # 2.5× wave slowdown at 4 CPUs). Zero driver bytes either way.
+                raw_links = raw_links.materialize()
+                links_ds = _links_dedup_seen(raw_links, seen).materialize()
             n_discovered = links_ds.count()
             t_fetch = time.time() - t1
             t1 = time.time()

@@ -745,6 +745,62 @@ SQL_DEDUP_EXACT = (
 )
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup: exact Jaccard over DISTINCT char-3-gram sets,
+    blocked by ``source`` (the blocked-pairs pattern of q_embed_neardup) —
+    the non-LSH member of the dedup family. Threshold compare is exact
+    integer math (1000·|∩| ≥ 300·|∪|), so the oracle matches bit-for-bit."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import char_shingles
+
+        ids = g["doc_id"].to_numpy()
+        sets = [char_shingles(t or "", 3) for t in g["text"]]
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        order = np.argsort(ids)
+        out_a, out_b, jac = [], [], []
+        for x in range(len(order)):
+            i = order[x]
+            for y in range(x + 1, len(order)):
+                j = order[y]
+                inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+                union = sizes[i] + sizes[j] - inter
+                if union and 1000 * inter >= 300 * union:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    jac.append(int(np.floor(1000.0 * inter / union)))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=np.int64),
+                "doc_b": pd.Series(out_b, dtype=np.int64),
+                "jaccard_e3": pd.Series(jac, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+SQL_NGRAM_JACCARD = """
+WITH grams AS (
+  SELECT doc_id, source,
+         UNNEST(list_distinct([substr(text, CAST(i AS INT), 3)
+                               FOR i IN range(1, length(text) - 1)])) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * ninter / (sa.n + sb.n - ninter)) AS BIGINT) AS jaccard_e3
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 1000 * ninter >= 300 * (sa.n + sb.n - ninter)
+"""
+
+
 def q_dedup_bow(sf_dir: str):
     """Bag-of-words fingerprint dedup: groups of docs with identical sorted
     token multisets (order-insensitive exact dup detection)."""
@@ -1032,6 +1088,7 @@ QUERIES: dict[str, tuple] = {
     "q_groupby_events": (q_groupby_events, SQL_GROUPBY_EVENTS),
     "q_dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT),
     "q_dedup_bow": (q_dedup_bow, SQL_DEDUP_BOW),
+    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "q_dedup_minhash": (q_dedup_minhash, None),
     "q_dedup_simhash": (q_dedup_simhash, None),
     "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),

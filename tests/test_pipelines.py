@@ -121,6 +121,7 @@ FAST_ORACLE_QUERIES = [
     "q_a1_dedup_first",
     "q_a5_union_distinct",
     "q_dedup_bow",
+    "q_dedup_ngram_jaccard",
     "q_window_daily",
     "q_j5_vocab_collapse",
     "q_j6_hash_join",
