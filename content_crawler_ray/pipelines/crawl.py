@@ -243,27 +243,53 @@ def _grant_wave(
     hashes = allowed["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     admitted = allowed.filter(pa.array(~seen.contains(hashes))) if len(hashes) else allowed
 
-    df = admitted.select(FRONTIER_COLS).to_pandas()
-    df = df.sort_values(["priority", "seed_rank"], ascending=[False, True], kind="mergesort")
-    rank = df.groupby("host", sort=False).cumcount().to_numpy()
+    # pure numpy/Arrow grant math (this is serial driver time — at the high
+    # parallelism leg it is an Amdahl term, so no pandas round trips):
+    # stable order by (priority DESC, seed_rank ASC), per-host rank via
+    # factorize + stable argsort offsets, politeness bases mapped by code.
+    admitted = admitted.select(FRONTIER_COLS).combine_chunks()
+    prio = admitted["priority"].to_numpy(zero_copy_only=False)
+    srank = admitted["seed_rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((srank, -prio.astype(np.float64)))
+    ordered = admitted.take(pa.array(order, pa.int64()))
+
+    codes, uniq_hosts = pd.factorize(
+        pd.Series(ordered["host"].to_numpy(zero_copy_only=False)), sort=False
+    )
+    n_adm = len(codes)
+    counts_all = np.bincount(codes, minlength=len(uniq_hosts)) if n_adm else np.array([], np.int64)
+    starts = np.zeros(len(uniq_hosts) + 1, dtype=np.int64)
+    np.cumsum(counts_all, out=starts[1:])
+    by_code = np.argsort(codes, kind="stable")
+    rank = np.empty(n_adm, dtype=np.int64)
+    rank[by_code] = np.arange(n_adm, dtype=np.int64) - np.repeat(starts[:-1], counts_all)
     granted_mask = rank < host_budget
 
-    gdf = df[granted_mask].copy()
-    counts = gdf["host"].value_counts(sort=False)
-    bases = politeness.reserve_many(counts.index.tolist(), counts.astype(int).tolist())
-    gdf["fetch_seq"] = rank[granted_mask] + gdf["host"].map(bases).to_numpy()
-    gdf["wave"] = np.int32(wave_no)
-    if len(gdf):
-        seen.insert(gdf["url_hash"].to_numpy().astype(np.uint64))
+    g_codes = codes[granted_mask]
+    g_counts = np.bincount(g_codes, minlength=len(uniq_hosts))
+    active = np.nonzero(g_counts)[0]
+    bases_map = politeness.reserve_many(
+        [uniq_hosts[i] for i in active], g_counts[active].tolist()
+    )
+    base_by_code = np.zeros(len(uniq_hosts), dtype=np.int64)
+    for i in active:
+        base_by_code[i] = bases_map[uniq_hosts[i]]
 
-    granted = pa.Table.from_pandas(gdf, preserve_index=False).cast(
+    gtbl = ordered.filter(pa.array(granted_mask))
+    fetch_seq = rank[granted_mask] + base_by_code[g_codes]
+    if gtbl.num_rows:
+        seen.insert(gtbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
+
+    granted = gtbl.append_column(
+        "fetch_seq", pa.array(fetch_seq, pa.int64())
+    ).append_column(
+        "wave", pa.array(np.full(gtbl.num_rows, wave_no, dtype=np.int32), pa.int32())
+    ).cast(
         pa.schema(
             list(FRONTIER_SCHEMA) + [("fetch_seq", pa.int64()), ("wave", pa.int32())]
         )
     )
-    denied = pa.Table.from_pandas(df[~granted_mask], preserve_index=False).cast(
-        FRONTIER_SCHEMA
-    )
+    denied = ordered.filter(pa.array(~granted_mask)).cast(FRONTIER_SCHEMA)
     counters = dict(
         wavefront=n_wave,
         robots_dropped=n_wave - allowed.num_rows,
