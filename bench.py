@@ -158,7 +158,7 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
-        env.setdefault("BENCH_REPEATS", "1")
+        env.setdefault("BENCH_REPEATS", "2")
         env.setdefault("BENCH_SEEDS", str(2 * 200_000))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
