@@ -345,6 +345,23 @@ def minhash_verified_pairs(
     return with_text.groupby("_pb").map_groups(verify, batch_format="pyarrow")
 
 
+def simhash_neardup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
+    """SimHash near-dup pairs: 64-bit SimHash per doc (one vectorized batch
+    kernel), then the shared hamming-LSH band engine (pipelines/hamming.py)
+    — candidates from shared 16-bit bands, exact-hamming verify with the
+    hashes riding the band rows. The text-side counterpart of
+    phash_neardup_pairs; cheaper than MinHash (one int64 per doc through
+    the shuffle instead of 16 band hashes) at lower recall for partial
+    overlap — the standard simhash/minhash tradeoff."""
+    from .hamming import hamming_lsh_pairs
+
+    docs = _read_docs(docs_path, ["doc_id", "text"])
+    sigs = simhash_signatures(docs)
+    return hamming_lsh_pairs(
+        sigs, id_col="doc_id", hash_col="simhash", max_hamming=max_hamming
+    )
+
+
 def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
     """(doc_id, simhash) — 64-bit SimHash per document."""
 

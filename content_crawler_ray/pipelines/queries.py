@@ -745,6 +745,29 @@ SQL_DEDUP_EXACT = (
 )
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic 10% sample (SURVEY §2.7): Knuth-multiplicative hash of
+    the key mod 100 — reproducible across runs/cluster sizes (unlike
+    random_sample), cheap integer math, and SQL-expressible so the oracle
+    checks the exact row set."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * np.uint64(2654435761) + ln) % np.uint64(100)
+        return b.filter(pa.array(h < 10))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SAMPLE_HASH = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+"""
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     """n-gram Jaccard near-dup: exact Jaccard over DISTINCT char-3-gram sets,
     blocked by ``source`` (the blocked-pairs pattern of q_embed_neardup) —
@@ -848,6 +871,12 @@ def q_dedup_simhash(sf_dir: str):
     from .dedup import simhash_signatures
 
     return simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_simhash_pairs(sf_dir: str):
+    from .dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_p(sf_dir, "documents"), max_hamming=3)
 
 
 def q_embed_neardup(sf_dir: str):
@@ -1089,8 +1118,10 @@ QUERIES: dict[str, tuple] = {
     "q_dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT),
     "q_dedup_bow": (q_dedup_bow, SQL_DEDUP_BOW),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "q_dedup_minhash": (q_dedup_minhash, None),
     "q_dedup_simhash": (q_dedup_simhash, None),
+    "q_dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
     "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "q_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "q_ann_ivf": (q_ann_ivf, None),

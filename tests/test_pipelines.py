@@ -122,6 +122,7 @@ FAST_ORACLE_QUERIES = [
     "q_a5_union_distinct",
     "q_dedup_bow",
     "q_dedup_ngram_jaccard",
+    "q_sample_hash",
     "q_window_daily",
     "q_j5_vocab_collapse",
     "q_j6_hash_join",
@@ -386,3 +387,30 @@ def _normalize_rows(m):
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1
     return m / n
+
+
+def test_simhash_neardup_finds_planted_pairs(ray_session, tmp_path):
+    """SimHash + shared hamming-LSH: a doc differing by one token from its
+    twin lands within the hamming threshold; unrelated docs don't pair."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "sigmaX")
+    far = "one two three four five six seven eight nine ten " * 2
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([base, near, far, base], pa.string()),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+
+    from content_crawler_ray.pipelines.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(path, max_hamming=6).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (1, 4) in got  # identical docs: hamming 0
+    assert (1, 2) in got  # one-token edit stays within the threshold
+    assert not any(3 in p for p in got)
+    exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 4)]
+    assert exact.hamming.iloc[0] == 0
