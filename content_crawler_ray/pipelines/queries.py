@@ -1068,6 +1068,30 @@ def q_crawl_flagship(sf_dir: str):
     return run_flagship(sf_dir)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio leg of the multimodal contract: synthesize a deterministic PCM
+    clip per document id (opaque binary + typed metadata), extract features
+    through the AudioFeatures actor-pool stage (rows-only — FFT features are
+    not SQL-expressible). Small batch_size: clips are binary-heavy."""
+    from ..stages.multimodal import AudioFeatures, synth_audio_clip
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_clips(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, pa.int64()),
+                "bytes": pa.array([synth_audio_clip(int(i)) for i in ids], pa.binary()),
+                "fmt": pa.array(["pcm_s16le"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(make_clips, batch_format="pyarrow").map_batches(
+        AudioFeatures(), batch_format="pyarrow", batch_size=128
+    )
+
+
 def q_image_stats(sf_dir: str):
     """Decode the tier corpus with the multimodal actor stage; per-format
     aggregate stats (rows-only — decode is not SQL-expressible)."""
@@ -1131,6 +1155,7 @@ QUERIES: dict[str, tuple] = {
     "q_text_fingerprint": (q_text_fingerprint, None),
     "q_crawl_flagship": (q_crawl_flagship, None),
     "q_image_stats": (q_image_stats, None),
+    "q_audio_features": (q_audio_features, None),
 }
 
 

@@ -98,3 +98,81 @@ def sample_frames(data: bytes, fmt: str, every_n: int = 10) -> list[bytes]:
     The actor-stage contract (binary in → list of frame payloads out) is what
     a production ffmpeg-backed implementation would fill in."""
     raise NotImplementedError("video decode unavailable in-sandbox (ffmpeg would plug in here)")
+
+
+# --------------------------------------------------------------------------
+# Audio — opaque binary payloads (PCM s16le) with typed metadata, the audio
+# leg of the multimodal contract. Raw PCM decodes for real (pure numpy);
+# compressed audio (mp3/ogg/flac) has no codec wheel in this container and
+# is stubbed exactly like jpeg/video above.
+# --------------------------------------------------------------------------
+
+AUDIO_FORMATS = ("pcm_s16le",)
+
+
+def synth_audio_clip(audio_id: int, sr: int = 16_000, seconds: float = 0.5) -> bytes:
+    """Deterministic PCM s16le clip: a 3-sine mixture whose frequencies and
+    amplitudes derive from the id (the audio analog of codecs.gen_pixels)."""
+    rng = np.random.Generator(np.random.PCG64(audio_id))
+    n = int(sr * seconds)
+    t = np.arange(n, dtype=np.float64) / sr
+    sig = np.zeros(n)
+    for _ in range(3):
+        f = float(rng.integers(80, 4000))
+        a = float(rng.uniform(0.1, 0.3))
+        sig += a * np.sin(2 * np.pi * f * t)
+    return (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """binary → float64 waveform in [-1, 1]. Real for raw PCM; compressed
+    formats are honest stubs (no codec wheels in-sandbox)."""
+    if fmt == "pcm_s16le":
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    raise NotImplementedError(
+        f"audio codec {fmt!r} unavailable in-sandbox (libsndfile/ffmpeg would plug in here)"
+    )
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio batch → per-clip features, all vectorized
+    numpy per clip (RMS energy, zero-crossing count, peak, spectral centroid
+    via one rfft). Integer-scaled outputs (e6/e3) so cross-run comparison is
+    exact. The class form keeps the warm-up slot for a real decoder pool."""
+
+    def __init__(self, sr: int = 16_000):
+        self.sr = sr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        n = len(ids)
+        n_samples = np.zeros(n, dtype=np.int64)
+        rms_e6 = np.zeros(n, dtype=np.int64)
+        zcr = np.zeros(n, dtype=np.int64)
+        peak_e6 = np.zeros(n, dtype=np.int64)
+        centroid_e3 = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            w = decode_audio(blobs[i], fmts[i])
+            n_samples[i] = len(w)
+            if not len(w):
+                continue
+            rms_e6[i] = int(np.floor(1e6 * np.sqrt(np.mean(w * w))))
+            zcr[i] = int(np.count_nonzero(np.signbit(w[1:]) != np.signbit(w[:-1])))
+            peak_e6[i] = int(np.floor(1e6 * np.abs(w).max()))
+            spec = np.abs(np.fft.rfft(w))
+            freqs = np.fft.rfftfreq(len(w), d=1.0 / self.sr)
+            denom = spec.sum()
+            if denom > 0:
+                centroid_e3[i] = int(np.floor(1e3 * float((spec * freqs).sum() / denom)))
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "rms_e6": pa.array(rms_e6, pa.int64()),
+                "zero_crossings": pa.array(zcr, pa.int64()),
+                "peak_e6": pa.array(peak_e6, pa.int64()),
+                "centroid_hz_e3": pa.array(centroid_e3, pa.int64()),
+            }
+        )

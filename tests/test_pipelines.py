@@ -414,3 +414,37 @@ def test_simhash_neardup_finds_planted_pairs(ray_session, tmp_path):
     assert not any(3 in p for p in got)
     exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 4)]
     assert exact.hamming.iloc[0] == 0
+
+
+def test_audio_features_stage(ray_session):
+    """Real PCM decode + vectorized features; compressed formats stay honest
+    stubs (the jpeg/video pattern)."""
+    import pytest as _pytest
+
+    from content_crawler_ray.stages.multimodal import (
+        AudioFeatures,
+        decode_audio,
+        synth_audio_clip,
+    )
+
+    clip = synth_audio_clip(7)
+    w = decode_audio(clip, "pcm_s16le")
+    assert len(w) == 8000 and np.abs(w).max() <= 1.0
+    batch = pa.table(
+        {
+            "audio_id": pa.array([7, 8], pa.int64()),
+            "bytes": pa.array([clip, synth_audio_clip(8)], pa.binary()),
+            "fmt": pa.array(["pcm_s16le"] * 2, pa.string()),
+        }
+    )
+    out = AudioFeatures()(batch)
+    rows = out.to_pylist()
+    assert rows[0]["n_samples"] == 8000
+    assert 0 < rows[0]["rms_e6"] < 1_000_000
+    assert rows[0]["zero_crossings"] > 0
+    assert rows[0]["centroid_hz_e3"] > 0
+    # determinism: same id → identical features
+    again = AudioFeatures()(batch).to_pylist()
+    assert again == rows
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"", "mp3")
