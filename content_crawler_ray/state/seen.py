@@ -9,9 +9,12 @@ shard = ``url_hash % n_shards``, each shard an actor holding
     overflow), and
   - an exact uint64 tier (sorted base array + compacting delta array; every
     probe is a vectorized searchsorted) that confirms cuckoo positives, so
-    membership is exact — required for golden seen-set equality. At the
-    10^10 design point the exact tier spills to sorted-array Bloom pages
-    (state/cuckoo.BloomFilter); in-sandbox scales never trigger the spill.
+    membership is exact — required for golden seen-set equality. The
+    ``spill_rows`` knob (the 10^10 design point) freezes the exact tier
+    into Bloom pages past a memory budget — lossy (documented 1e-4 FP
+    rate drops a URL), so golden-equality and checkpointed runs leave it
+    off; the spill path is wired and tested
+    (test_seen_shard_bloom_spill_bounds_memory).
 
 All calls are batched (one message per shard per wave-stage, arrays in/out).
 Shards checkpoint to Parquet (sorted uint64) and restore for resume.
@@ -22,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .cuckoo import CuckooFilter
+from .cuckoo import BloomFilter, CuckooFilter
 
 
 def _in_sorted(arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
@@ -41,18 +44,36 @@ class SeenShard:
     screens definite negatives first (the common case) and REBUILDS at 2×
     capacity when an insert overflows, instead of aborting the crawl."""
 
-    def __init__(self, capacity_hint: int = 1 << 16):
+    def __init__(self, capacity_hint: int = 1 << 16, spill_rows: int | None = None):
         self.cuckoo = CuckooFilter(capacity_hint)
         self._base = np.empty(0, dtype=np.uint64)
         self._delta = np.empty(0, dtype=np.uint64)
         self._compact_at = 1 << 16
+        # Bloom spill tier (the 10^10 design point): when the exact base
+        # array exceeds spill_rows, it freezes into a Bloom page (documented
+        # FP rate 1e-4) and the arrays restart empty — shard memory is then
+        # bounded by spill_rows + page bits instead of crawl size. Lossy:
+        # a false positive drops a URL, so golden-equality runs and
+        # checkpointed runs keep the default (None = never spill).
+        self._spill_rows = spill_rows
+        self._bloom_pages: list[BloomFilter] = []
+        self._n_spilled = 0
 
     def _member(self, keys: np.ndarray) -> np.ndarray:
+        # cuckoo screens the EXACT tiers only (a spill-time overflow rebuild
+        # can no longer cover spilled keys); Bloom pages are filters in
+        # their own right — no false negatives — so they answer directly
+        # for whatever the exact tiers missed.
         out = np.zeros(len(keys), dtype=bool)
         idx = np.nonzero(self.cuckoo.contains(keys))[0]
         if len(idx):
             k = keys[idx]
             out[idx] = _in_sorted(self._base, k) | _in_sorted(self._delta, k)
+        for page in self._bloom_pages:
+            miss = np.nonzero(~out)[0]
+            if not len(miss):
+                break
+            out[miss] = page.contains(keys[miss])
         return out
 
     def _insert_novel(self, novel: np.ndarray) -> None:
@@ -60,6 +81,17 @@ class SeenShard:
         self._delta = np.union1d(self._delta, novel)
         if len(self._delta) >= max(self._compact_at, len(self._base) >> 3):
             self._base = np.union1d(self._base, self._delta)
+            self._delta = np.empty(0, dtype=np.uint64)
+        if (
+            self._spill_rows is not None
+            and len(self._base) + len(self._delta) >= self._spill_rows
+        ):
+            exact = np.union1d(self._base, self._delta)
+            page = BloomFilter(len(exact))
+            page.insert(exact)
+            self._bloom_pages.append(page)
+            self._n_spilled += len(exact)
+            self._base = np.empty(0, dtype=np.uint64)
             self._delta = np.empty(0, dtype=np.uint64)
         try:
             self.cuckoo.insert(novel)
@@ -101,9 +133,13 @@ class SeenShard:
         return out
 
     def size(self) -> int:
-        return len(self._base) + len(self._delta)
+        return len(self._base) + len(self._delta) + self._n_spilled
 
     def snapshot(self) -> np.ndarray:
+        if self._bloom_pages:
+            # spilled keys are irrecoverable by design; checkpointing and
+            # spill are mutually exclusive (run_crawl never enables both)
+            raise RuntimeError("cannot snapshot a Bloom-spilled shard")
         return np.union1d(self._base, self._delta)
 
     def restore(self, keys: np.ndarray) -> None:
@@ -123,8 +159,12 @@ class SeenSet:
         self.n = len(shards)
 
     @classmethod
-    def create(cls, n_shards: int, capacity_hint: int = 1 << 16) -> "SeenSet":
-        return cls([SeenShard.remote(capacity_hint) for _ in range(n_shards)])
+    def create(
+        cls, n_shards: int, capacity_hint: int = 1 << 16, spill_rows: int | None = None
+    ) -> "SeenSet":
+        return cls(
+            [SeenShard.remote(capacity_hint, spill_rows) for _ in range(n_shards)]
+        )
 
     def _scatter(self, keys: np.ndarray):
         sh = (keys % np.uint64(self.n)).astype(np.int64)

@@ -82,3 +82,27 @@ def test_seen_shard_cuckoo_overflow_resizes(ray_session):
     again = seen.contains(keys)
     assert again.all()
     assert seen.size() == len(uniq)
+
+
+def test_seen_shard_bloom_spill_bounds_memory(ray_session):
+    """The documented spill tier, wired: past spill_rows the exact base
+    freezes into a Bloom page; membership of every inserted key still
+    answers True (Bloom has no false negatives), and size() counts the
+    spilled keys. Snapshot refuses (spill and checkpointing are exclusive)."""
+    import numpy as np
+    import pytest
+
+    from content_crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet.create(1, capacity_hint=256, spill_rows=2048)
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(1, 2**62, size=10_000, dtype=np.int64)).astype(np.uint64)
+    for i in range(0, len(keys), 1000):
+        seen.insert(keys[i : i + 1000])
+    assert seen.contains(keys).all()  # no false negatives across tiers
+    assert seen.size() == len(keys)
+    fresh = np.unique(rng.integers(2**62, 2**63, size=5000, dtype=np.int64)).astype(np.uint64)
+    fp = seen.contains(fresh).mean()
+    assert fp < 0.01  # documented 1e-4 design rate; loose sandbox bound
+    with pytest.raises(Exception):
+        seen.snapshot()
