@@ -54,8 +54,6 @@ def hamming_lsh_pairs(
 ) -> rd.Dataset:
     """(id_a, id_b, hamming) pairs with hash distance ≤ threshold. The id
     column may be string or integer; output id columns keep its type."""
-    id_type = None  # resolved lazily from the first batch
-
     def band_rows(b: pa.Table) -> pa.Table:
         h = b[hash_col].to_numpy(zero_copy_only=False)
         bands = bands_of(h)
