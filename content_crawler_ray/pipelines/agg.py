@@ -22,6 +22,14 @@ import ray.data as rd
 
 AggSpec = dict[str, str]  # column -> "sum" | "min" | "max"
 
+# Note on the "RefBundle with a different schema ... new schema: ." warnings
+# some shuffles log: every UDF in this repo returns TYPED (possibly empty)
+# tables, but ray 2.49's sort-based groupby emits schema-less EMPTY bundles
+# for partitions that received no rows (streaming_executor_state.py:793
+# fires on those internal bundles). Benign — downstream concat ignores
+# zero-row bundles; verified by running the pipelines with typed-empty UDF
+# outputs only and observing the warning persists on the Sort operator.
+
 
 def combine_partials(
     partials: rd.Dataset,
