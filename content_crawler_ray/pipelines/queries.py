@@ -1092,6 +1092,30 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """Video leg of the multimodal contract: deterministic rawvid clips per
+    document id → FrameSample actor stage → one row per sampled frame with
+    payload + mean-luma feature (rows-only; binary plumbing not
+    SQL-expressible). Small batch_size: clips are binary-heavy."""
+    from ..stages.multimodal import FrameSample, synth_video_clip
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_clips(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "video_id": pa.array(ids, pa.int64()),
+                "bytes": pa.array([synth_video_clip(int(i)) for i in ids], pa.binary()),
+                "fmt": pa.array(["rawvid"] * len(ids), pa.string()),
+            }
+        )
+
+    return ds.map_batches(make_clips, batch_format="pyarrow").map_batches(
+        FrameSample(every_n=10), batch_format="pyarrow", batch_size=64
+    )
+
+
 def q_image_stats(sf_dir: str):
     """Decode the tier corpus with the multimodal actor stage; per-format
     aggregate stats (rows-only — decode is not SQL-expressible)."""
@@ -1156,6 +1180,7 @@ QUERIES: dict[str, tuple] = {
     "q_crawl_flagship": (q_crawl_flagship, None),
     "q_image_stats": (q_image_stats, None),
     "q_audio_features": (q_audio_features, None),
+    "q_video_frames": (q_video_frames, None),
 }
 
 

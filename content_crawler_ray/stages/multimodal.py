@@ -93,11 +93,71 @@ class ResizeStage:
         return t.append_column("thumb_h", pa.array([self.target] * len(out), pa.int32()))
 
 
+# Deterministic in-sandbox video container ("rawvid"): a 16-byte header
+# (magic, n_frames, w, h) followed by n_frames raw uint8 grayscale frames.
+# It stands in for mp4/webm exactly as the raw/dctq codecs stand in for
+# jpeg: the container parse, frame stride math and per-frame payload slicing
+# are REAL; only the foreign-codec branch stays a stub.
+_RAWVID_MAGIC = b"RVID"
+
+
+def synth_video_clip(video_id: int, n_frames: int = 24, w: int = 16, h: int = 16) -> bytes:
+    """Deterministic rawvid clip: frame k = gen_pixels of (id, k) — drifting
+    deterministic noise, the video analog of codecs.gen_pixels."""
+    frames = [
+        codecs.gen_pixels(f"vid-{video_id}-f{k}", w, h).tobytes() for k in range(n_frames)
+    ]
+    header = _RAWVID_MAGIC + np.array([n_frames, w, h], dtype="<i4").tobytes()
+    return header + b"".join(frames)
+
+
 def sample_frames(data: bytes, fmt: str, every_n: int = 10) -> list[bytes]:
-    """Video frame sampling — STUB: no video codec in this container.
-    The actor-stage contract (binary in → list of frame payloads out) is what
-    a production ffmpeg-backed implementation would fill in."""
-    raise NotImplementedError("video decode unavailable in-sandbox (ffmpeg would plug in here)")
+    """Video frame sampling: binary clip → every-n-th raw frame payload.
+    Real for the deterministic ``rawvid`` container (header parse + stride
+    slicing); foreign codecs (mp4/webm) are honest stubs — a production
+    ffmpeg-backed decoder fills the same contract."""
+    if fmt == "rawvid":
+        if data[:4] != _RAWVID_MAGIC:
+            raise ValueError("corrupt rawvid header")
+        n_frames, w, h = np.frombuffer(data[4:16], dtype="<i4")
+        stride = int(w) * int(h)
+        body = data[16:]
+        return [
+            body[k * stride : (k + 1) * stride] for k in range(0, int(n_frames), every_n)
+        ]
+    raise NotImplementedError("video codec unavailable in-sandbox (ffmpeg would plug in here)")
+
+
+class FrameSample:
+    """Actor-pool stage: video batch → one row per sampled frame, with the
+    frame payload as a binary column plus per-frame mean luma (the fake
+    'feature' downstream stages would consume). Binary-heavy: callers pass a
+    small batch_size, frames never concatenate across rows."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out_id, out_k, out_frame, out_luma = [], [], [], []
+        for i in range(len(ids)):
+            frames = sample_frames(blobs[i], fmts[i], self.every_n)
+            for k, payload in enumerate(frames):
+                out_id.append(int(ids[i]))
+                out_k.append(k * self.every_n)
+                out_frame.append(payload)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                out_luma.append(int(np.floor(1e3 * float(arr.mean()))) if len(arr) else 0)
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_k, pa.int64()),
+                "frame": pa.array(out_frame, pa.binary()),
+                "mean_luma_e3": pa.array(out_luma, pa.int64()),
+            }
+        )
 
 
 # --------------------------------------------------------------------------

@@ -448,3 +448,36 @@ def test_audio_features_stage(ray_session):
     assert again == rows
     with _pytest.raises(NotImplementedError):
         decode_audio(b"", "mp3")
+
+
+def test_video_frame_sampling(ray_session):
+    """rawvid container parse + stride slicing are real; every-n sampling
+    returns exact frame payloads; foreign codecs stay stubs."""
+    import pytest as _pytest
+
+    from content_crawler_ray.functions import codecs
+    from content_crawler_ray.stages.multimodal import (
+        FrameSample,
+        sample_frames,
+        synth_video_clip,
+    )
+
+    clip = synth_video_clip(3, n_frames=24, w=8, h=8)
+    frames = sample_frames(clip, "rawvid", every_n=10)
+    assert len(frames) == 3  # frames 0, 10, 20
+    assert frames[1] == codecs.gen_pixels("vid-3-f10", 8, 8).tobytes()
+
+    batch = pa.table(
+        {
+            "video_id": pa.array([3, 4], pa.int64()),
+            "bytes": pa.array([clip, synth_video_clip(4, n_frames=5, w=8, h=8)], pa.binary()),
+            "fmt": pa.array(["rawvid"] * 2, pa.string()),
+        }
+    )
+    out = FrameSample(every_n=10)(batch)
+    df = out.to_pandas()
+    assert df[df.video_id == 3].frame_idx.tolist() == [0, 10, 20]
+    assert df[df.video_id == 4].frame_idx.tolist() == [0]
+    assert (df.mean_luma_e3 > 0).all()
+    with _pytest.raises(NotImplementedError):
+        sample_frames(b"", "mp4")
