@@ -80,6 +80,33 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_backup(args) -> int:
+    """contentful-backup analog: stream the corpus into content-addressed
+    blobs + metadata shards (B/ContentfulBackup.java:98-208)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.backup import backup_corpus
+
+    stats = backup_corpus(rd.read_parquet(args.corpus), args.out)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """contentful-restore analog: backup dir → parquet, optional global
+    ops/sec limit via the shared token-bucket actor (B/ContentfulRestore.java:46)."""
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.backup import restore_corpus_ds
+
+    ds = restore_corpus_ds(args.backup_dir, rate=args.rate)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="content_crawler_ray")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -100,6 +127,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--n-seeds", type=int, default=1000)
     s.add_argument("--out-dir", required=True)
     s.set_defaults(fn=cmd_synth)
+
+    b = sub.add_parser("backup", help="stream the corpus to a backup dir")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_backup)
+
+    r = sub.add_parser("restore", help="restore a backup dir to parquet")
+    r.add_argument("--backup-dir", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--rate", type=float, default=None)
+    r.set_defaults(fn=cmd_restore)
 
     q = sub.add_parser("query", help="run one registry query")
     q.add_argument("--name", required=True)
