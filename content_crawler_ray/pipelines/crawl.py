@@ -460,6 +460,14 @@ def run_crawl(
         if links_ds is not None and n_discovered:
             new_frontier = new_frontier.union(links_ds)
         frontier = new_frontier.materialize()
+        # block-count guard for long crawls: every wave appends rest blocks
+        # + denied + link blocks, so a many-wave run accretes hundreds of
+        # tiny blocks and the per-wave sort's task count grows with wave
+        # number instead of data size. Compact (cheap coalesce, no shuffle
+        # semantics — the wave sort re-orders anyway) when it runs away.
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        if frontier.num_blocks() > max(64, 4 * n_cpus):
+            frontier = frontier.repartition(max(16, 2 * n_cpus)).materialize()
 
         m = dict(
             wave=wave_no,
