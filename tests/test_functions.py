@@ -285,3 +285,66 @@ def test_simhash_batch_equals_scalar():
     got = T.simhash64_batch(docs)
     want = np.array([T.simhash64(d) for d in docs], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_hash64_array_equals_scalar_property():
+    """Property: the vectorized padded-matrix FNV kernel equals the scalar
+    byte-loop reference on arbitrary unicode strings (hypothesis)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from content_crawler_ray.functions.hashing import hash64_array, hash64_scalar
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20))
+    def check(strings):
+        got = hash64_array(pa.array(strings, pa.string()))
+        want = [hash64_scalar(s) for s in strings]
+        assert got.tolist() == want
+
+    check()
+
+
+def test_simhash_batch_equals_scalar_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from content_crawler_ray.functions import text as T
+
+    token = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.lists(token, min_size=0, max_size=12), min_size=1, max_size=8))
+    def check(docs):
+        got = T.simhash64_batch(docs)
+        want = np.array([T.simhash64(d) for d in docs], dtype=np.int64)
+        assert (got == want).all()
+
+    check()
+
+
+def test_codec_roundtrip_property():
+    """Property: raw codec roundtrips exactly; dctq decodes within the PSNR
+    invariant for arbitrary ids/dims."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from content_crawler_ray.functions import codecs
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10**6),
+        st.sampled_from([8, 16, 24, 32]),
+        st.sampled_from([8, 16, 24]),
+    )
+    def check(i, w, h):
+        img = codecs.gen_pixels(f"img-{i:012d}", w, h)
+        raw = codecs.encode(img, "raw")
+        assert (codecs.decode(raw, w, h, "raw") == img).all()
+        lossy = codecs.encode(img, "dctq")
+        dec = codecs.decode(lossy, w, h, "dctq")
+        assert codecs.psnr(dec, img) >= 40.0
+
+    check()
