@@ -200,13 +200,34 @@ def embedding_neardup_pairs(
     near-dup; the label is the blocking key, one gram matrix per block)."""
     ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding", "label"])
 
+    tile = 2048  # hot-label guard: gram memory stays ≤ tile² doubles per step
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
         vids = g["vec_id"].to_numpy()
         order = np.argsort(vids)
         m, vids = m[order], vids[order]
-        gram = m @ m.T
-        a, b = np.where(np.triu(gram >= threshold, k=1))
-        return pd.DataFrame({"vec_a": vids[a], "vec_b": vids[b]})
+        n = len(vids)
+        # tiled upper-triangle scan: identical output to one n×n gram, but a
+        # skewed (hot-label) block costs O(tile·n) memory instead of O(n²) —
+        # the worker heap never depends on label skew
+        out_a, out_b = [], []
+        for i0 in range(0, n, tile):
+            mi = m[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                gram = mi @ m[j0 : j0 + tile].T
+                if i0 == j0:
+                    a, b = np.where(np.triu(gram >= threshold, k=1))
+                else:
+                    a, b = np.where(gram >= threshold)
+                out_a.append(vids[i0 + a])
+                out_b.append(vids[j0 + b])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype=vids.dtype), "vec_b": pd.Series([], dtype=vids.dtype)}
+            )
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
