@@ -1111,9 +1111,31 @@ def q_video_frames(sf_dir: str):
             }
         )
 
-    return ds.map_batches(make_clips, batch_format="pyarrow").map_batches(
+    frames = ds.map_batches(make_clips, batch_format="pyarrow").map_batches(
         FrameSample(every_n=10), batch_format="pyarrow", batch_size=64
     )
+
+    # driver-facing projection: the binary frame payload stays inside the
+    # pipeline (the stage test covers it); the query returns a stable
+    # 64-bit digest per frame instead — raw bytes trip generic
+    # to_pandas/str harness paths
+    def digest(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        crc = [
+            int.from_bytes(hashlib.blake2b(f, digest_size=8).digest(), "big") >> 1
+            for f in b["frame"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "video_id": b["video_id"],
+                "frame_idx": b["frame_idx"],
+                "frame_digest": pa.array(crc, pa.int64()),
+                "mean_luma_e3": b["mean_luma_e3"],
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pyarrow")
 
 
 def q_image_stats(sf_dir: str):
