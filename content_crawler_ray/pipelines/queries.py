@@ -1515,6 +1515,54 @@ def q_j6_hash_join(sf_dir: str):
     )
 
 
+def q_j6_bucketed_join(sf_dir: str):
+    """J6 third strategy: the engine's OWN bucketed equi-join
+    (pipelines/joins.py — tag sides, bucket on hash64(key), one local Arrow
+    hash-join per shuffle bucket). Exists because ray 2.49's join operator
+    mishandles empty-side partitions and over-reserves aggregator CPUs;
+    this path must agree with Dataset.join (q_j6_hash_join) on the same
+    oracle."""
+    from .joins import bucketed_inner_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.round(
+            pc.multiply(rev, pa.scalar(100.0)), round_mode="half_towards_infinity"
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev_cents": pc.cast(cents, pa.int64())}
+        )
+
+    joined = bucketed_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema={"l_orderkey": pa.int64(), "rev_cents": pa.int64()},
+        right_schema={"o_orderkey": pa.int64(), "o_orderstatus": pa.large_string()},
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"].to_pandas(),
+                "rev_cents": b["rev_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("o_orderstatus", as_index=False).agg(
+            n_items=("rev_cents", "size"), revenue_cents=("rev_cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        {"n_items": "sum", "revenue_cents": "sum"},
+    )
+
+
 SQL_J6 = """
 SELECT o.o_orderstatus, count(*) AS n_items,
        CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
@@ -1570,6 +1618,7 @@ FROM sess GROUP BY user_id, session
 """
 
 QUERIES["q_j6_hash_join"] = (q_j6_hash_join, SQL_J6)
+QUERIES["q_j6_bucketed_join"] = (q_j6_bucketed_join, SQL_J6)
 QUERIES["q_session_windows"] = (q_session_windows, SQL_SESSIONS)
 
 

@@ -126,6 +126,7 @@ FAST_ORACLE_QUERIES = [
     "q_window_daily",
     "q_j5_vocab_collapse",
     "q_j6_hash_join",
+    "q_j6_bucketed_join",
     "q_t6_country_region",
     "q_t7_props_extract",
     "q_t7_nested_flatten",
