@@ -12,7 +12,6 @@ and costs ~10 KB; no shuffle is ever keyed on language.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import text as T
 from .agg import combine_partials
