@@ -100,7 +100,9 @@ def cmd_restore(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .pipelines.backup import restore_corpus_ds
 
-    ds = restore_corpus_ds(args.backup_dir, rate=args.rate)
+    # materialize once: count() after write_parquet would re-run the whole
+    # restore (every blob read twice, rate-limit tokens paid twice)
+    ds = restore_corpus_ds(args.backup_dir, rate=args.rate).materialize()
     ds.write_parquet(args.out)
     print(json.dumps({"rows": ds.count(), "out": args.out}))
     ray.shutdown()

@@ -217,7 +217,9 @@ def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
     flat = [t for ts in token_lists for t in ts]
     h = hash64_array(pa.array(flat, pa.string()))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    signs = (2 * bits.astype(np.int16) - 1)
+    # int32: int16 would overflow at >=32768 same-sign tokens on one bit
+    # (a single repeated junk token is exactly the doc dedup sees)
+    signs = (2 * bits.astype(np.int32) - 1)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     nz = lens > 0

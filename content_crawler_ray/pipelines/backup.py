@@ -75,6 +75,14 @@ def _blob_name(blob: bytes) -> str:
 
 def _backup_batch_fn(out_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks are legal in Ray Datasets
+            return pa.table(
+                {
+                    "written": pa.array([0], pa.int64()),
+                    "skipped": pa.array([0], pa.int64()),
+                    "rows": pa.array([0], pa.int64()),
+                }
+            )
         blob_dir = os.path.join(out_dir, "blobs")
         os.makedirs(blob_dir, exist_ok=True)
         written = skipped = 0

@@ -36,10 +36,13 @@ def _merge_key(target_id: pd.Series, tag_field: pd.Series) -> pd.Series:
 def _collect_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """Vectorized collect-set of one shuffle bucket: every (target, field)
     group in one pandas pass — no per-group Python dispatch."""
+    g = g.assign(source_id=g["source_id"].astype(str))
     g = g.drop_duplicates(["target_id", "tag_field", "source_id"])
+    # lexicographic sort on the STRING form so first-write and the
+    # merge-with-existing replay path agree byte-for-byte for numeric ids
     g = g.sort_values(["target_id", "tag_field", "source_id"])
     out = g.groupby(["target_id", "tag_field"], as_index=False, sort=False).agg(
-        sources=("source_id", lambda c: ",".join(c.astype(str)))
+        sources=("source_id", ",".join)
     )
     return out
 

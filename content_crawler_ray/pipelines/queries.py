@@ -116,15 +116,26 @@ def q_t2_normalize(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-SQL_T2 = """
-SELECT doc_id,
-       CASE WHEN doc_id % 29 = 0 THEN 'und' ELSE
-         CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'
-                   WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'zho' ELSE 'und' END
-       END AS "langIso3",
+# The oracle derives iso3 from the SAME ISO-639 dimension table the engine
+# uses (inlined as a VALUES CTE), so widening the synth lang domain cannot
+# silently break it. NULL lang mirrors the engine's fillna('en').
+def _sql_t2() -> str:
+    from ..functions.langnorm import ISO639
+
+    rows = ",".join(
+        "('%s','%s')" % (iso1, iso3) for iso1, iso3, _e, _n in ISO639
+    )
+    return f"""
+WITH iso(iso1, iso3) AS (VALUES {rows})
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 29 = 0 THEN 'und'
+            ELSE coalesce(i.iso3, 'und') END AS "langIso3",
        'literature' AS "contentType", TRUE AS searchable
-FROM documents
+FROM documents d LEFT JOIN iso i ON coalesce(d.lang, 'en') = i.iso1
 """
+
+
+SQL_T2 = _sql_t2()
 
 # --------------------------------------------------------------------------
 # T3 — tolerant createdAt date-math (clamp-by-addition), reference format
@@ -507,13 +518,34 @@ SQL_A1 = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 # --------------------------------------------------------------------------
 
 def q_a3_collect_set(sf_dir: str):
+    """Bucketed collect-set: shuffle on ``hash(user_id) % B`` and collect ALL
+    users of a bucket in ONE vectorized pandas pass (linker.py pattern) — not
+    one Python ``map_groups`` dispatch per user."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_buckets = 16
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        vals = ",".join(sorted(set(g["event_type"])))
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "event_types": [vals]})
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
 
-    return ds.groupby("user_id").map_groups(collect, batch_format="pandas")
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = (splitmix64(u.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_b", pa.array(bb, pa.int64()))
+
+    def collect_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"]
+        )
+        return g.groupby("user_id", as_index=False, sort=False).agg(
+            event_types=("event_type", ",".join)
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: collect_bucket(g.drop(columns=["_b"])), batch_format="pandas"
+        )
+    )
 
 
 SQL_A3 = """
@@ -768,39 +800,94 @@ WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
-    """n-gram Jaccard near-dup: exact Jaccard over DISTINCT char-3-gram sets,
-    blocked by ``source`` (the blocked-pairs pattern of q_embed_neardup) —
-    the non-LSH member of the dedup family. Threshold compare is exact
-    integer math (1000·|∩| ≥ 300·|∪|), so the oracle matches bit-for-bit."""
-    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    """n-gram Jaccard near-dup, scale-shaped: NO all-pairs loop anywhere.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    Mirrors its own oracle SQL's ``JOIN ON a.g = b.g AND a.source = b.source``
+    shape as two bucketed shuffles:
+
+      1. explode each doc into distinct hashed char-3-grams (each gram row
+         carries its doc's set size, so no separate sizes join is needed),
+         bucket on ``hash(gram) % B``;
+      2. per gram-bucket: ONE vectorized pandas self-merge on (gram, source)
+         generates the shared-gram pair rows, then a bucket-local partial
+         count per (doc_a, doc_b) — the combiner that keeps the second
+         shuffle small;
+      3. second bucketed shuffle on ``hash(doc_a, doc_b) % B`` sums the
+         partial intersection counts and applies the exact integer threshold
+         (1000·|∩| ≥ 300·|∪|), so the oracle matches bit-for-bit.
+
+    At 100 TB the known residual is stop-gram fan-out (a gram present in
+    every doc makes its group quadratic); production systems cut top-df
+    grams or switch to the minhash pipeline — here every gram group lands
+    in a distributed bucket and the pair generation is a C-level merge,
+    never a Python loop."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    n_buckets = 32
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import char_shingles
 
-        ids = g["doc_id"].to_numpy()
-        sets = [char_shingles(t or "", 3) for t in g["text"]]
-        sizes = np.array([len(s) for s in sets], dtype=np.int64)
-        order = np.argsort(ids)
-        out_a, out_b, jac = [], [], []
-        for x in range(len(order)):
-            i = order[x]
-            for y in range(x + 1, len(order)):
-                j = order[y]
-                inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
-                union = sizes[i] + sizes[j] - inter
-                if union and 1000 * inter >= 300 * union:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    jac.append(int(np.floor(1000.0 * inter / union)))
+        ids = b["doc_id"].to_numpy()
+        srcs = b["source"].to_numpy()
+        sets = [char_shingles(t or "", 3) for t in b["text"]]
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        g = np.concatenate(sets) if sets else np.array([], dtype=np.uint64)
+        out = pd.DataFrame(
+            {
+                "g": g.view(np.int64),
+                "source": np.repeat(srcs, lens),
+                "doc_id": np.repeat(ids, lens).astype(np.int64),
+                "n": np.repeat(lens, lens),
+                "_b": (g % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+        return out
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = g[["g", "source", "doc_id", "n"]]
+        m = cols.merge(cols, on=["g", "source"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False, sort=False).agg(
+            ninter=("g", "size"), na=("n_a", "first"), nb=("n_b", "first")
+        )
+        agg["_b2"] = (
+            (
+                agg["doc_id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + agg["doc_id_b"].to_numpy().astype(np.uint64)
+            )
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return agg
+
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["doc_id_a", "doc_id_b"], as_index=False, sort=False).agg(
+            ninter=("ninter", "sum"), na=("na", "first"), nb=("nb", "first")
+        )
+        union = tot["na"] + tot["nb"] - tot["ninter"]
+        keep = (union > 0) & (1000 * tot["ninter"] >= 300 * union)
+        tot = tot[keep]
+        union = union[keep]
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype=np.int64),
-                "doc_b": pd.Series(out_b, dtype=np.int64),
-                "jaccard_e3": pd.Series(jac, dtype=np.int64),
+                "doc_a": tot["doc_id_a"].astype(np.int64),
+                "doc_b": tot["doc_id_b"].astype(np.int64),
+                "jaccard_e3": np.floor(
+                    1000.0 * tot["ninter"].to_numpy() / union.to_numpy()
+                ).astype(np.int64),
             }
         )
 
-    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: pairs_bucket(g.drop(columns=["_b"])), batch_format="pandas"
+        )
+        .groupby("_b2")
+        .map_groups(
+            lambda g: combine_bucket(g.drop(columns=["_b2"])), batch_format="pandas"
+        )
+    )
 
 
 SQL_NGRAM_JACCARD = """
@@ -1578,25 +1665,44 @@ GROUP BY o.o_orderstatus
 # --------------------------------------------------------------------------
 
 def q_session_windows(sf_dir: str):
+    """Sessionize via ONE bucketed shuffle: bucket on ``hash(user_id) % B``,
+    then sessionize EVERY user of a bucket in a single vectorized pandas pass
+    (sort + diff + grouped cumsum) — no per-user ``map_groups`` dispatch
+    (the many-tiny-groups pathology, see linker.py:36-44)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    n_buckets = 16
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = (splitmix64(u.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_b", pa.array(bb, pa.int64()))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().fillna(0).astype(np.int64)
-        out = g.assign(session=sid).groupby("session", as_index=False).agg(
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_s = (gap & same_user).astype(np.int64)
+        g = g.assign(session=new_s.groupby(g["user_id"].to_numpy()).cumsum())
+        out = g.groupby(["user_id", "session"], as_index=False, sort=False).agg(
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max"),
         )
-        out["user_id"] = g["user_id"].iloc[0]
         out["start"] = out["start_ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
         out["dur_s"] = (
             (out["end_ts"] - out["start_ts"]) // pd.Timedelta(seconds=1)
         ).astype(np.int64)
         return out[["user_id", "session", "start", "n_events", "dur_s"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: sessions_bucket(g.drop(columns=["_b"])), batch_format="pandas"
+        )
+    )
 
 
 SQL_SESSIONS = """

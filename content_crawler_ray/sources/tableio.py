@@ -165,28 +165,19 @@ def upsert_parquet(new_rows: pa.Table, table_dir: str, key: str, n_buckets: int 
             _merge_bucket(part, _bucket_path(table_dir, b), key)
         return
 
-    import ray.data as rd
-
-    rows_ref = ray.put(new_rows)
-    buckets_ref = ray.put(buckets)
-
-    def merge(batch: pa.Table) -> pa.Table:
-        rows = ray.get(rows_ref)
-        bks = ray.get(buckets_ref)
-        out_b, out_n = [], []
-        for b in batch["bucket"].to_pylist():
-            part = rows.filter(pa.array(bks == b))
-            n = _merge_bucket(part, _bucket_path(table_dir, int(b)), key)
-            out_b.append(b)
-            out_n.append(n)
-        return pa.table(
-            {"bucket": pa.array(out_b, pa.int64()), "n_rows": pa.array(out_n, pa.int64())}
-        )
-
-    (
-        rd.from_items([{"bucket": b} for b in present], override_num_blocks=len(present))
-        .map_batches(merge, batch_format="pyarrow")
-        .materialize()
+    # pre-split per bucket on the caller and ship each slice as its own task
+    # argument: every merge task receives ONLY its bucket's rows (previously
+    # the whole call batch was ray.put once and re-filtered in B tasks).
+    # Raw tasks (not a Dataset) — one task per bucket FILE, a mutable-sink
+    # shape the Dataset API doesn't express.
+    merge_task = ray.remote(num_cpus=1)(_merge_bucket)
+    ray.get(
+        [
+            merge_task.remote(
+                new_rows.filter(pa.array(buckets == b)), _bucket_path(table_dir, b), key
+            )
+            for b in present
+        ]
     )
 
 
