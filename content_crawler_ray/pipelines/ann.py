@@ -194,40 +194,132 @@ def ivf_topk(
 
 
 def embedding_neardup_pairs(
-    embeddings_path: str, threshold: float = 0.35
+    embeddings_path: str,
+    threshold: float = 0.35,
+    hot_label_rows: int = 4096,
+    n_salt: int = 4,
 ) -> rd.Dataset:
     """(vec_a, vec_b) same-label pairs with cosine ≥ threshold (blocked
-    near-dup; the label is the blocking key, one gram matrix per block)."""
+    near-dup; the label is the blocking key).
+
+    Hot-label salting: a cheap label-count pre-pass (label column only) finds
+    labels above ``hot_label_rows``; each hot label's rows are split into
+    ``n_salt`` shards by ``hash(vec_id)`` and replicated to the
+    S·(S+1)/2 shard-PAIR groups, so a hot label's O(n²) scan is shared by
+    many tasks instead of one (cross-salt pair coverage is exact: pair
+    (a,b) lands in exactly the (shard_a, shard_b) group). Cold labels keep
+    the single-group path with zero replication. Within every group the
+    scan is the tiled gram kernel — memory ≤ tile² doubles regardless of
+    skew."""
+    from ..functions.hashing import splitmix64
+
     ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding", "label"])
 
-    tile = 2048  # hot-label guard: gram memory stays ≤ tile² doubles per step
+    # pre-pass over ONLY the label column: per-batch value_counts partials,
+    # tiny driver combine (one row per label per batch)
+    counts = (
+        rd.read_parquet(embeddings_path, columns=["label"])
+        .map_batches(
+            lambda b: b["label"].value_counts().rename_axis("label").reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("label")["n"]
+        .sum()
+    )
+    hot = frozenset(counts[counts > hot_label_rows].index)
+
+    tile = 2048  # gram memory stays ≤ tile² doubles per step
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        base = b[["vec_id", "embedding", "label"]]
+        is_hot = base["label"].isin(hot).to_numpy()
+        cold = base[~is_hot].copy()
+        cold["_s"] = np.int64(0)
+        cold["_pi"] = np.int64(-1)  # cold sentinel: one group per label
+        parts = [cold]
+        hd = base[is_hot]
+        if len(hd):
+            s = (
+                splitmix64(hd["vec_id"].to_numpy().astype(np.int64).view(np.uint64))
+                % np.uint64(n_salt)
+            ).astype(np.int64)
+            for t in range(n_salt):
+                rep = hd.copy()
+                rep["_s"] = s
+                i = np.minimum(s, t)
+                j = np.maximum(s, t)
+                rep["_pi"] = i * n_salt + j
+                parts.append(rep)
+        return pd.concat(parts, ignore_index=True)
+
+    def _tiled_pairs(m, vids, mi_rows=None, vi=None):
+        """Upper-triangle scan (mi_rows None) or full cross scan of
+        (vi, mi_rows) × (vids, m); returns (a_ids, b_ids) lists."""
+        out_a, out_b = [], []
+        if mi_rows is None:
+            n = len(vids)
+            for i0 in range(0, n, tile):
+                mi = m[i0 : i0 + tile]
+                for j0 in range(i0, n, tile):
+                    gram = mi @ m[j0 : j0 + tile].T
+                    if i0 == j0:
+                        a, b = np.where(np.triu(gram >= threshold, k=1))
+                    else:
+                        a, b = np.where(gram >= threshold)
+                    out_a.append(vids[i0 + a])
+                    out_b.append(vids[j0 + b])
+        else:
+            for i0 in range(0, len(vi), tile):
+                mi = mi_rows[i0 : i0 + tile]
+                for j0 in range(0, len(vids), tile):
+                    a, b = np.where(mi @ m[j0 : j0 + tile].T >= threshold)
+                    out_a.append(vi[i0 + a])
+                    out_b.append(vids[j0 + b])
+        return out_a, out_b
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        vids = g["vec_id"].to_numpy()
-        order = np.argsort(vids)
-        m, vids = m[order], vids[order]
-        n = len(vids)
-        # tiled upper-triangle scan: identical output to one n×n gram, but a
-        # skewed (hot-label) block costs O(tile·n) memory instead of O(n²) —
-        # the worker heap never depends on label skew
-        out_a, out_b = [], []
-        for i0 in range(0, n, tile):
-            mi = m[i0 : i0 + tile]
-            for j0 in range(i0, n, tile):
-                gram = mi @ m[j0 : j0 + tile].T
-                if i0 == j0:
-                    a, b = np.where(np.triu(gram >= threshold, k=1))
+        pi = int(g["_pi"].iloc[0])
+        vids_all = g["vec_id"].to_numpy()
+        si, sj = divmod(pi, n_salt) if pi >= 0 else (0, 0)
+        if pi < 0 or si == sj:
+            rows = g if pi < 0 else g[g["_s"].to_numpy() == si]
+            m = _normalize(np.stack(rows["embedding"].to_numpy()).astype(np.float64))
+            vids = rows["vec_id"].to_numpy()
+            order = np.argsort(vids)
+            out_a, out_b = _tiled_pairs(m[order], vids[order])
+        else:
+            sarr = g["_s"].to_numpy()
+            lt = g[sarr == si]
+            rt = g[sarr == sj]
+            if not len(lt) or not len(rt):
+                out_a, out_b = [], []
+            else:
+                ml = _normalize(np.stack(lt["embedding"].to_numpy()).astype(np.float64))
+                mr = _normalize(np.stack(rt["embedding"].to_numpy()).astype(np.float64))
+                ra, rb = _tiled_pairs(mr, rt["vec_id"].to_numpy(), ml, lt["vec_id"].to_numpy())
+                # cross pairs: enforce vec_a < vec_b (triangle path does this
+                # by construction)
+                if ra:
+                    av = np.concatenate(ra)
+                    bv = np.concatenate(rb)
+                    out_a = [np.minimum(av, bv)]
+                    out_b = [np.maximum(av, bv)]
                 else:
-                    a, b = np.where(gram >= threshold)
-                out_a.append(vids[i0 + a])
-                out_b.append(vids[j0 + b])
+                    out_a, out_b = [], []
         if not out_a:
             return pd.DataFrame(
-                {"vec_a": pd.Series([], dtype=vids.dtype), "vec_b": pd.Series([], dtype=vids.dtype)}
+                {
+                    "vec_a": pd.Series([], dtype=vids_all.dtype),
+                    "vec_b": pd.Series([], dtype=vids_all.dtype),
+                }
             )
         return pd.DataFrame(
             {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
         )
 
-    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby(["label", "_pi"])
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -270,14 +270,23 @@ def minhash_verified_pairs(
     def attach_text(t: pa.Table) -> pa.Table:
         eps = t.filter(pc.is_valid(t["slot"]))
         dd = t.filter(pc.is_null(t["slot"]))
-        lookup = dict(
-            zip(
-                dd["key"].to_numpy(zero_copy_only=False).tolist(),
-                dd["text"].to_pylist(),
-            )
-        )
         keys = eps["key"].to_numpy(zero_copy_only=False)
-        texts = [lookup.get(k) for k in keys.tolist()]
+        # vectorized text attach: searchsorted join on the doc keys + Arrow
+        # take — the strings never materialize as Python objects
+        dkeys = dd["key"].to_numpy(zero_copy_only=False)
+        if len(dkeys) == 0:
+            texts = pa.nulls(len(keys), pa.large_string())
+        else:
+            order = np.argsort(dkeys, kind="stable")
+            dsorted = dkeys[order]
+            pos = np.searchsorted(dsorted, keys)
+            posc = np.minimum(pos, len(dsorted) - 1)
+            found = dsorted[posc] == keys
+            texts = pc.if_else(
+                pa.array(found),
+                pc.take(dd["text"].combine_chunks(), pa.array(order[posc], pa.int64())),
+                pa.nulls(len(keys), pa.large_string()),
+            )
         da = pc.cast(eps["doc_a"], pa.int64())
         db = pc.cast(eps["doc_b"], pa.int64())
         with np.errstate(over="ignore"):
@@ -303,42 +312,56 @@ def minhash_verified_pairs(
     # Stage 2 — a second (tiny: 2 rows/pair) shuffle on the pair key brings
     # both endpoint texts together; pivot + exact-Jaccard verify per bucket.
     def verify(t: pa.Table) -> pa.Table:
-        lt = t.filter(pc.equal(t["slot"], 0))
-        rt = t.filter(pc.equal(t["slot"], 1))
-        left = {
-            (a, b): tx
-            for a, b, tx in zip(
-                lt["doc_a"].to_pylist(), lt["doc_b"].to_pylist(), lt["text"].to_pylist()
-            )
-        }
-        out_a, out_b, jac = [], [], []
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_e3": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # vectorized pivot: ONE pandas dedup (collapses multi-band duplicate
+        # pairs) + ONE merge brings both endpoint texts together — no Python
+        # dict/set per row
+        df = t.select(["doc_a", "doc_b", "slot", "text"]).to_pandas()
+        df = df.drop_duplicates(["doc_a", "doc_b", "slot"])
+        lt = df[df["slot"] == 0][["doc_a", "doc_b", "text"]]
+        rt = df[df["slot"] == 1][["doc_a", "doc_b", "text"]]
+        m = lt.merge(rt, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        m = m[m["text_a"].notna() & m["text_b"].notna()]
+        if not len(m):
+            return empty
+        # shingle each UNIQUE doc once (a doc in k pairs shingles once), then
+        # per-pair exact Jaccard via sorted-array intersection (C kernels)
+        uids_a = m["doc_a"].to_numpy()
+        uids_b = m["doc_b"].to_numpy()
         cache: dict[int, np.ndarray] = {}
-
-        def sh(d, txt):
+        for d, tx in zip(np.concatenate([uids_a, uids_b]),
+                         pd.concat([m["text_a"], m["text_b"]])):
             if d not in cache:
-                cache[d] = T.char_shingles(txt or "", shingle_k)
-            return cache[d]
-
-        seen: set[tuple[int, int]] = set()
-        for a, b, tb_ in zip(
-            rt["doc_a"].to_pylist(), rt["doc_b"].to_pylist(), rt["text"].to_pylist()
-        ):
-            if (a, b) in seen:  # multi-band duplicate pair — collapse here
-                continue
-            seen.add((a, b))
-            ta_ = left.get((a, b))
-            if ta_ is None:
-                continue
-            j = T.jaccard(sh(a, ta_), sh(b, tb_))
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                jac.append(int(np.floor(j * 1000)))
+                cache[d] = T.char_shingles(tx or "", shingle_k)
+        inter = np.fromiter(
+            (
+                len(np.intersect1d(cache[a], cache[b], assume_unique=True))
+                for a, b in zip(uids_a, uids_b)
+            ),
+            dtype=np.int64,
+            count=len(m),
+        )
+        na = np.fromiter((len(cache[a]) for a in uids_a), dtype=np.int64, count=len(m))
+        nb = np.fromiter((len(cache[b]) for b in uids_b), dtype=np.int64, count=len(m))
+        union = na + nb - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = j >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_e3": pa.array(jac, pa.int64()),
+                "doc_a": pa.array(uids_a[keep], pa.int64()),
+                "doc_b": pa.array(uids_b[keep], pa.int64()),
+                "jaccard_e3": pa.array(
+                    np.floor(j[keep] * 1000).astype(np.int64), pa.int64()
+                ),
             }
         )
 

@@ -482,3 +482,36 @@ def test_video_frame_sampling(ray_session):
     assert (df.mean_luma_e3 > 0).all()
     with _pytest.raises(NotImplementedError):
         sample_frames(b"", "mp4")
+
+
+def test_embedding_neardup_hot_label_salting_exact(ray_session, tmp_path):
+    """A planted hot label is split across salted shard-pair groups and the
+    pair set stays EXACTLY equal to the unsalted scan (cross-salt coverage)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    n_hot, n_cold, d = 120, 15, 8
+    base = rng.normal(size=d)
+    # hot label: many vectors near `base` (lots of true pairs), plus noise
+    hot = base + 0.05 * rng.normal(size=(n_hot, d))
+    cold = rng.normal(size=(n_cold, d))
+    vecs = np.concatenate([hot, cold]).astype(np.float32)
+    labels = ["hot"] * n_hot + ["cold"] * n_cold
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_hot + n_cold), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.string()),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+
+    from content_crawler_ray.pipelines.ann import embedding_neardup_pairs
+
+    def pairset(**kw):
+        df = embedding_neardup_pairs(path, threshold=0.9, **kw).to_pandas()
+        assert (df.vec_a < df.vec_b).all()
+        return set(zip(df.vec_a, df.vec_b))
+
+    unsalted = pairset(hot_label_rows=10**9)        # salting never fires
+    salted = pairset(hot_label_rows=50, n_salt=3)   # hot label → 6 groups
+    assert salted == unsalted and len(salted) > 100
