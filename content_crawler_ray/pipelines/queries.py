@@ -1049,6 +1049,161 @@ def q_text_langid(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _sql_langid() -> str:
+    """Oracle generated from the SAME marker table the engine uses: per-lang
+    score = distinct marker tokens present (zh: distinct marker chars
+    contained); best = max score > 0 with lexicographic lang tiebreak."""
+    rows = ",".join(
+        f"('{lang}','{m}')"
+        for lang in sorted(T._LANG_MARKERS)
+        for m in sorted(T._LANG_MARKERS[lang])
+    )
+    return f"""
+WITH markers(lang, marker) AS (VALUES {rows}),
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')) AS tok
+  FROM documents),
+tscore AS (
+  SELECT t.doc_id, m.lang, count(DISTINCT m.marker) AS score
+  FROM tok t JOIN markers m ON m.lang <> 'zh' AND m.marker = t.tok
+  GROUP BY 1, 2),
+zscore AS (
+  SELECT d.doc_id, 'zh' AS lang,
+         (SELECT count(*) FROM markers m
+          WHERE m.lang = 'zh' AND contains(coalesce(d.text,''), m.marker)) AS score
+  FROM documents d),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM (SELECT * FROM tscore UNION ALL SELECT * FROM zscore) WHERE score > 0)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+SQL_TEXT_LANGID = _sql_langid()
+
+
+# FNV-1a 64 of a string expression, as a DuckDB HUGEINT fold over its chars.
+# ASSUMES ASCII text (unicode(c) == utf-8 byte) — true for the synth corpus;
+# the engine kernel (functions/hashing.py hash64_scalar) folds utf-8 bytes.
+def _sql_fnv(expr: str) -> str:
+    return f"""list_reduce(
+  list_prepend(14695981039346656037::HUGEINT,
+               list_transform(string_split_regex({expr}, ''), c -> unicode(c)::HUGEINT)),
+  (h, v) -> (xor(h::UBIGINT, v::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616)"""
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text,''), ' '), t -> t <> '') AS ts
+  FROM documents),
+fp AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(ts, t -> {_sql_fnv('t')})),
+    (h, th) -> xor(((h * 1099511628211) % 18446744073709551616)::UBIGINT, th::UBIGINT)::HUGEINT
+  ) AS v
+  FROM toks)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+                 ELSE v END AS BIGINT) AS fingerprint
+FROM fp
+"""
+
+
+# Shared CTE body: 64-bit SimHash per doc (sign-sum of per-token FNV bits),
+# NULL-packed value for token-less docs → coalesced to 0 like the kernel.
+_SQL_SIMHASH_CTE = f"""
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, ({_sql_fnv('t.tok')})::UBIGINT AS h FROM tok t),
+bits AS (
+  SELECT doc_id, r.i, SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(64)) AS i) r
+  GROUP BY doc_id, r.i),
+packed AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN p.v IS NULL THEN 0
+                   WHEN p.v >= 9223372036854775808 THEN p.v - 18446744073709551616
+                   ELSE p.v END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id)
+"""
+
+SQL_DEDUP_SIMHASH = f"WITH {_SQL_SIMHASH_CTE} SELECT doc_id, simhash FROM sh"
+
+# Pairs at hamming <= 3 over 4x16-bit bands are EXACT (pigeonhole: 3 flipped
+# bits cannot touch all 4 bands), so the LSH output equals the brute-force
+# hamming predicate — SQL-expressible as a self-join with bit_count.
+SQL_SIMHASH_PAIRS = f"""
+WITH {_SQL_SIMHASH_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _sql_minhash() -> str:
+    """Full MinHash+LSH oracle: the 128 universal-hash params are inlined
+    from the SAME minhash_params(seed=7) the engine's actor pool builds, the
+    signature reproduces numpy's uint64 wraparound ((x·a mod 2^64)+b mod
+    2^64) mod 2^61-1, bands FNV-fold 8 sig values, candidacy requires a
+    shared band bucket of 2..MAX_BUCKET members, verify is exact Jaccard
+    ≥ 0.8 over the distinct char-5-gram sets (short texts = one whole-text
+    gram, as in functions/text.py char_shingles)."""
+    a, b = T.minhash_params(128)
+    perm_rows = ",".join(
+        f"({j},{int(a[j])}::HUGEINT,{int(b[j])}::HUGEINT)" for j in range(128)
+    )
+    return f"""
+WITH perms(j, pa, pb) AS (VALUES {perm_rows}),
+grams AS (
+  SELECT DISTINCT doc_id, ({_sql_fnv('g')})::UBIGINT & 2305843009213693951 AS x
+  FROM (
+    SELECT doc_id, CASE WHEN length(text) < 5 THEN [text]
+                        ELSE [substr(text, CAST(i AS INT), 5)
+                              FOR i IN range(1, length(text) - 3)] END AS gs
+    FROM documents WHERE length(coalesce(text,'')) > 0) t, unnest(t.gs) u(g)),
+sig AS (
+  SELECT g.doc_id, p.j,
+         min((((g.x::HUGEINT * p.pa) % 18446744073709551616 + p.pb)
+              % 18446744073709551616) % 2305843009213693951) AS s
+  FROM grams g, perms p GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, CAST(j // 8 AS BIGINT) AS band,
+         list_reduce(list_prepend(14695981039346656037::HUGEINT, list(s ORDER BY j)),
+                     (h, v) -> (xor(h::UBIGINT, v::UBIGINT)::HUGEINT * 1099511628211)
+                               % 18446744073709551616) AS bh
+  FROM sig GROUP BY doc_id, j // 8),
+bsize AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+  JOIN bsize s ON s.band = x.band AND s.bh = x.bh
+  WHERE s.n <= 64),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND ga.x = gb.x
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(1000.0 * i.ni / (sa.n + sb.n - i.ni)) AS BIGINT) AS jaccard_e3
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 1.0 * i.ni / (sa.n + sb.n - i.ni) >= 0.8
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash()
+
+
 def q_text_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1275,16 +1430,16 @@ QUERIES: dict[str, tuple] = {
     "q_dedup_bow": (q_dedup_bow, SQL_DEDUP_BOW),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
-    "q_dedup_minhash": (q_dedup_minhash, None),
-    "q_dedup_simhash": (q_dedup_simhash, None),
-    "q_dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
+    "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "q_dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "q_dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "q_ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "q_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "q_text_langid": (q_text_langid, None),
-    "q_text_fingerprint": (q_text_fingerprint, None),
+    "q_text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "q_text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "q_crawl_flagship": (q_crawl_flagship, None),
     "q_image_stats": (q_image_stats, None),
     "q_audio_features": (q_audio_features, None),
