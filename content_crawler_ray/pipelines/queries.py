@@ -1941,6 +1941,63 @@ QUERIES["q_hll_distinct"] = (q_hll_distinct, None)
 
 
 # --------------------------------------------------------------------------
+# T11 — schema inference as a query: the engine reads the parquet schema
+# through Arrow and maps each field to its ES type + lowerCamel name via
+# the MappingGenerator type map (functions/schema_infer.py, mirroring
+# C/MappingGenerator.java:82-91); the oracle derives the SAME rows from
+# DuckDB's own catalog types — two independent type systems must agree.
+# --------------------------------------------------------------------------
+
+def q_t11_schema_infer(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..functions.schema_infer import KEYWORD, TEXT, to_field_name
+
+    schema = pq.read_schema(_p(sf_dir, "documents"))
+
+    def arrow_es_type(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "integer"
+        if pa.types.is_floating(t):
+            return "double"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            return "date"
+        if pa.types.is_large_string(t):
+            return TEXT
+        if pa.types.is_string(t):
+            return KEYWORD
+        return "nested"
+
+    names = [to_field_name(f.name) for f in schema]
+    return pa.table(
+        {
+            "field": pa.array(names, pa.string()),
+            "es_type": pa.array([arrow_es_type(f.type) for f in schema], pa.string()),
+        }
+    )
+
+
+SQL_T11 = """
+SELECT
+  CASE WHEN strpos(column_name, '_') = 0 THEN column_name
+       ELSE list_reduce(string_split(column_name, '_'),
+                        (a, p) -> a || upper(p[1]) || p[2:]) END AS field,
+  CASE WHEN data_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT') THEN 'integer'
+       WHEN data_type IN ('DOUBLE', 'FLOAT') THEN 'double'
+       WHEN data_type = 'BOOLEAN' THEN 'boolean'
+       WHEN data_type LIKE 'TIMESTAMP%' OR data_type = 'DATE' THEN 'date'
+       WHEN data_type = 'VARCHAR' THEN 'keyword'
+       ELSE 'nested' END AS es_type
+FROM information_schema.columns
+WHERE table_name = 'documents'
+"""
+
+QUERIES["q_t11_schema_infer"] = (q_t11_schema_infer, SQL_T11)
+
+
+# --------------------------------------------------------------------------
 # Image near-dedup by perceptual hash (hamming-LSH over phash bands)
 # --------------------------------------------------------------------------
 

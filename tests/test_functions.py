@@ -348,3 +348,87 @@ def test_codec_roundtrip_property():
         assert codecs.psnr(dec, img) >= 40.0
 
     check()
+
+
+def test_es_mapping_full_generator_shapes():
+    """Full MappingGenerator semantics (C/MappingGenerator.java:305-371):
+    vocabulary link collapse, nested link template, locale path template,
+    collapsible boolean/meta, disabled skip, KNOWN_FIELDS override, and the
+    fixed dynamic-template preamble (incl. the reference's double
+    nested_title)."""
+    from content_crawler_ray.functions.schema_infer import (
+        ContentField,
+        es_mapping,
+    )
+
+    fields = [
+        # Link with a vocabulary linkContentType → collapsed keyword property
+        ContentField(id="topic", name="Topic", type="Link", link_type="Entry",
+                     validations=[{"linkContentType": ["vocabTopic"]}]),
+        # Link to a non-vocabulary → match template, type nested, dynamic
+        ContentField(id="primaryImage", name="Primary image", type="Link",
+                     link_type="Asset", validations=[]),
+        # Array of links probing only the FIRST item validation
+        ContentField(id="countries", name="Countries", type="Array",
+                     array_items={"type": "Link",
+                                  "validations": [{"linkContentType": ["vocabCountry"]}]}),
+        # localized Text (non-nested) → path_match `field.*` template with copy_to
+        ContentField(id="body", name="Body", type="Text", localized=True),
+        # collapsible Boolean even when localized
+        ContentField(id="searchable", name="Searchable", type="Boolean", localized=True),
+        # collapsible by field name `meta`
+        ContentField(id="meta", name="Meta", type="Object"),
+        # plain non-localized Symbol → collapsed keyword
+        ContentField(id="slug", name="Slug", type="Symbol"),
+        # field named title → text regardless of type
+        ContentField(id="title", name="Title", type="Symbol"),
+        # disabled → skipped entirely
+        ContentField(id="legacy", name="Legacy", type="Symbol", disabled=True),
+        # name `blocks` → dropped from templates (C:329-332)
+        ContentField(id="blocks", name="Blocks", type="Object"),
+    ]
+    m = es_mapping(fields, vocabularies={"vocabTopic", "vocabCountry"})
+
+    props = m["properties"]
+    assert props["topic"] == {"type": "keyword", "copy_to": "search_text"}
+    assert props["countries"] == {"type": "keyword", "copy_to": "search_text"}
+    assert props["searchable"] == {"type": "boolean"}
+    assert props["meta"] == {"type": "nested"}
+    assert props["slug"] == {"type": "keyword", "copy_to": "search_text"}
+    assert props["title"] == {"type": "text", "copy_to": "search_text"}
+    assert "legacy" not in props and "blocks" not in props
+    # KNOWN_FIELDS present and winning
+    assert props["createdAt"] == {"type": "date"}
+    assert props["search_text"] == {"type": "text", "copy_to": "search_text"}
+
+    tpls = m["dynamic_templates"]
+    names = [next(iter(t)) for t in tpls]
+    # fixed preamble incl. the double nested_title (C:313,317)
+    assert names[:3] == ["ignored_fields", "asset_files", "generic_tags"]
+    assert names.count("nested_title") == 2
+    assert tpls[0]["ignored_fields"]["match_pattern"] == "regex"
+    assert tpls[0]["ignored_fields"]["mapping"] == {"enabled": False}
+    # nested link template: match on the field id, dynamic mapping
+    img = next(t["primaryImage"] for t in tpls if "primaryImage" in t)
+    assert img == {"match": "primaryImage",
+                   "mapping": {"type": "nested", "dynamic": True}}
+    # locale path template for localized text field with fulltext copy_to
+    body = next(t["body"] for t in tpls if "body" in t)
+    assert body == {"path_match": "body.*",
+                    "mapping": {"type": "text", "copy_to": "search_text"}}
+
+
+def test_es_mapping_link_probe_array_first_validation_only():
+    """The reference's array-link probe reads only the FIRST item validation
+    (C/MappingGenerator.java:364-368) — a vocabulary in the second validation
+    must NOT collapse the field."""
+    from content_crawler_ray.functions.schema_infer import ContentField, es_mapping
+
+    f = ContentField(id="tags", name="Tags", type="Array",
+                     array_items={"type": "Link",
+                                  "validations": [{"size": {"max": 5}},
+                                                  {"linkContentType": ["vocabTag"]}]})
+    m = es_mapping([f], vocabularies={"vocabTag"})
+    assert "tags" not in m["properties"]  # resolved nested, not vocabulary
+    tags = next(t["tags"] for t in m["dynamic_templates"] if "tags" in t)
+    assert tags["mapping"]["type"] == "nested"

@@ -69,3 +69,68 @@ def test_rate_limiter_spacing():
     rl.acquire()  # must wait 0.5
     rl.acquire()  # must wait 1.0
     assert waits == [0.5, 1.0]
+
+
+def test_compose_fanout_two_sinks_and_rollback(ray_session, tmp_path):
+    """ComposeHandler analog (M/ComposeHandler.java:28-75): ONE materialized
+    fetch intermediate feeds an upsert-table sink AND a backup-dir sink; the
+    publish pointer flips only when BOTH succeed. A failing sink leaves the
+    staged run unpublished (rollback = absence of the flip)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.compose import (
+        fan_out,
+        published_sink_dir,
+        sink_backup,
+        sink_parquet,
+        sink_upsert,
+    )
+    from content_crawler_ray.sources.tableio import read_upsert_table
+
+    n = 40
+    fetched = pa.table(
+        {
+            "image_id": pa.array([f"img-{i:03d}" for i in range(n)], pa.string()),
+            "bytes": pa.array([bytes([i % 251]) * 64 for i in range(n)], pa.binary()),
+            "w": pa.array(np.full(n, 8), pa.int64()),
+            "h": pa.array(np.full(n, 8), pa.int64()),
+            "fmt": pa.array(["raw"] * n, pa.string()),
+            "caption": pa.array([f"cap {i}" for i in range(n)], pa.string()),
+            "phash": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "fanout")
+    ds = rd.from_arrow(fetched)
+
+    res = fan_out(
+        ds,
+        {"table": sink_upsert(key="image_id"), "backup": sink_backup()},
+        out,
+    )
+    assert res["table"] == n
+    assert res["backup"]["written"] == len(set(fetched["bytes"].to_pylist()))
+
+    tdir = published_sink_dir(out, "table")
+    bdir = published_sink_dir(out, "backup")
+    assert tdir and bdir
+    got = read_upsert_table(tdir).to_pandas()
+    assert len(got) == n and set(got.image_id) == set(fetched["image_id"].to_pylist())
+    blobs = os.listdir(os.path.join(bdir, "blobs"))
+    assert len(blobs) == res["backup"]["written"]
+
+    # --- rollback: second run where one sink raises ------------------------
+    def bad_sink(ds, sink_dir):
+        raise RuntimeError("sink blew up")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        fan_out(ds, {"table": sink_parquet(), "boom": bad_sink}, out)
+
+    # pointer still names run 0: the failed run is staged but invisible
+    assert published_sink_dir(out, "table") == tdir
+    assert read_upsert_table(tdir).num_rows == n
