@@ -99,7 +99,9 @@ def run_bench() -> dict:
     # worker pool) and reports the MIN — the noise-floor estimate of engine
     # capability, used by --scaling so the efficiency ratio is not a ratio
     # of two noise draws.
-    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    # default 2: BENCH_rN.json then reports the warmed min-of-N capability
+    # number BASELINE.md measures, not a single ±30% noise draw
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     runs = []
     for _ in range(repeats):
         shutil.rmtree(out, ignore_errors=True)

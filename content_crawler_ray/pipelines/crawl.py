@@ -8,12 +8,13 @@ store): the frontier table itself (sort/limit shuffle per wave, dedup groupby
 on url_hash), the fetch+decode stage (actor-pool ``map_batches`` over
 zero-copy Arrow), link extraction, and the per-wave Parquet output.
 
-**Control plane — driver-side vectorized numpy/Arrow** (bounded O(K) rows BY
-CONSTRUCTION, K = ``wave_size``): robots filter, seen-set membership (batched
-calls to the sharded actors), politeness grant ranking and fetch-seq
-assignment. A real frontier scheduler dequeues a bounded wave; K is chosen to
-fit the scheduler's memory (e.g. 1M rows ≈ 100 MB), never proportional to the
-10^10-row frontier. Everything O(frontier) stays in Dataset land.
+**Control plane — ALSO distributed** (``_grant_stage``): wave selection-dedup
+runs in the sort shuffle's output blocks, and the whole grant (robots filter,
+seen-set admission, per-host rank-vs-budget, politeness reservation, seen
+insert) runs inside host-bucketed shuffle reduce tasks. The driver never
+holds a wave row: per wave it receives only the per-bucket counters and the
+wave's url_hash set (8 B/row) through the ``_WaveState`` actor, so driver
+serial time is O(1) in ``wave_size``.
 
 Determinism contract (verified against simulator.py): every scheduling
 decision is a function of (priority, seed_rank, host, url_hash) — never of
@@ -29,10 +30,11 @@ broadcast anti-join filter pass.
 
 Wave steps (exactly mirrors simulator.simulate):
   1. wave  = frontier.sort(priority DESC, seed_rank ASC).limit(K)   [shuffle]
-     → dedup by url_hash keep-first-in-sort-order (driver, O(K))
+     → per-block keep-first dedup → host-bucketed grant shuffle
+     (robots → seen → rank-vs-budget → politeness → seen insert),
+     all in ONE materialize round; driver receives counters + hashes only
   2. rest  = frontier anti-joined on the K broadcast wave hashes    [lazy map]
-  3. robots filter → seen filter → per-host rank-vs-budget grant;
-     granted hashes inserted into seen shards (before links flow)
+  3. (folded into step 1 — see _grant_stage)
   4. granted → map_batches(FetchDecode, concurrency=N) → out/wave=<n>/
   5. links extracted/canonicalized/hashed, self-deduped keep-best,
      seen-filtered (after the grant barrier) — ALL as Dataset stages
@@ -125,7 +127,15 @@ def _collect(ds: rd.Dataset, schema: pa.Schema | None = None) -> pa.Table:
     materialize() FIRST: calling ``to_arrow_refs()`` on a lazy dataset
     executes the plan twice (observed on ray 2.49 — 2× side effects), which
     would double-run side-effecting stages like the fused fetch+spool."""
-    tbls = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    blocks = ray.get(ds.materialize().to_arrow_refs())
+    tbls = []
+    for t in blocks:
+        if isinstance(t, pd.DataFrame):  # empty/sort blocks may be pandas-backed
+            if not len(t):
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            tbls.append(t)
     if not tbls:
         return (schema or FRONTIER_SCHEMA).empty_table()
     return pa.concat_tables(tbls, promote_options="default").combine_chunks()
@@ -157,7 +167,44 @@ def _robots_mask(wave: pa.Table, robots: RobotsCache) -> pa.Array:
     return pa.array(mask)
 
 
-def _links_dedup_seen(links: rd.Dataset, seen: SeenSet, n_buckets: int = 16) -> rd.Dataset:
+@ray.remote(num_cpus=0)
+class _WaveState:
+    """Per-wave bookkeeping for lazily-executed distributed stages. Every
+    report is keyed by bucket and OVERWRITES that bucket's slot, so task
+    retries and lineage re-execution stay idempotent (an additive counter
+    would double-count on replay)."""
+
+    def __init__(self):
+        self.links: dict[int, int] = {}
+        self.grants: dict[int, dict] = {}
+        self.hashes: dict[int, bytes] = {}
+
+    def report_links(self, bucket: int, n: int) -> None:
+        self.links[bucket] = n
+
+    def report_grant(self, bucket: int, stats: dict, hashes: bytes) -> None:
+        self.grants[bucket] = stats
+        self.hashes[bucket] = hashes
+
+    def links_total(self) -> int:
+        return sum(self.links.values())
+
+    def grant_totals(self) -> dict:
+        keys = ["wavefront", "robots_dropped", "admitted", "granted", "denied"]
+        return {k: sum(g[k] for g in self.grants.values()) for k in keys}
+
+    def wave_hashes(self) -> bytes:
+        return b"".join(self.hashes[k] for k in sorted(self.hashes))
+
+    def reset(self) -> None:
+        self.links = {}
+        self.grants = {}
+        self.hashes = {}
+
+
+def _links_dedup_seen(
+    links: rd.Dataset, seen: SeenSet, n_buckets: int = 16, counter=None
+) -> rd.Dataset:
     """Self-dedup keep-best + seen-filter of discovered links as Dataset
     stages: bucket on url_hash, one vectorized pandas keep-best pass per
     shuffle bucket, then a batched ``seen.contains`` against the shard
@@ -174,6 +221,7 @@ def _links_dedup_seen(links: rd.Dataset, seen: SeenSet, n_buckets: int = 16) -> 
         )
 
     def dedup_filter(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["_b"].iloc[0]) if "_b" in g.columns and len(g) else 0
         g = g.sort_values(
             ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
         )
@@ -181,7 +229,10 @@ def _links_dedup_seen(links: rd.Dataset, seen: SeenSet, n_buckets: int = 16) -> 
         if "_b" in g.columns:
             g = g.drop(columns=["_b"])
         h = g["url_hash"].to_numpy().astype(np.uint64)
-        return g[~seen.contains(h)]
+        out = g[~seen.contains(h)]
+        if counter is not None:  # blocking get → report delivered before the
+            ray.get(counter.report_links.remote(bucket, len(out)))  # task completes
+        return out
 
     to_schema = lambda b: b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)  # noqa: E731
 
@@ -205,7 +256,9 @@ def _links_dedup_seen(links: rd.Dataset, seen: SeenSet, n_buckets: int = 16) -> 
     )
 
 
-def _fused_small_wave(granted: pa.Table, stage_fn, seen: SeenSet) -> rd.Dataset:
+def _fused_small_wave(
+    granted: rd.Dataset | pa.Table, stage_fn, seen: SeenSet, counter=None
+) -> rd.Dataset:
     """Tail-wave fast path: the granted set fits one block, so fetch+spool,
     global link dedup and the seen filter run as consecutive map stages of a
     single pipeline round — same kernels, same determinism (one block ⇒ the
@@ -216,10 +269,15 @@ def _fused_small_wave(granted: pa.Table, stage_fn, seen: SeenSet) -> rd.Dataset:
             ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
         ).drop_duplicates("url_hash")
         h = g["url_hash"].to_numpy().astype(np.uint64)
-        return g[~seen.contains(h)]
+        out = g[~seen.contains(h)]
+        if counter is not None:
+            ray.get(counter.report_links.remote(0, len(out)))
+        return out
 
+    if isinstance(granted, pa.Table):
+        granted = rd.from_arrow(granted)
     return (
-        rd.from_arrow(granted)
+        granted
         .map_batches(stage_fn, batch_format="pyarrow", batch_size=None)
         .map_batches(dedup_filter, batch_format="pandas", batch_size=None)
         .map_batches(
@@ -269,7 +327,7 @@ def _grant_wave(
     g_counts = np.bincount(g_codes, minlength=len(uniq_hosts))
     active = np.nonzero(g_counts)[0]
     bases_map = politeness.reserve_many(
-        [uniq_hosts[i] for i in active], g_counts[active].tolist()
+        [uniq_hosts[i] for i in active], g_counts[active].tolist(), wave=wave_no
     )
     base_by_code = np.zeros(len(uniq_hosts), dtype=np.int64)
     for i in active:
@@ -300,6 +358,90 @@ def _grant_wave(
     return granted, denied, counters
 
 
+GRANT_SCHEMA = pa.schema(
+    list(FRONTIER_SCHEMA)
+    + [("fetch_seq", pa.int64()), ("wave", pa.int32()), ("granted", pa.bool_())]
+)
+
+
+def _grant_stage(
+    sel: rd.Dataset,
+    seen: SeenSet,
+    politeness: Politeness,
+    host_budget: int,
+    wave_no: int,
+    state,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Distributed wave grant: the whole control plane (selection dedup,
+    robots, seen admission, per-host rank-vs-budget, politeness reservation,
+    seen insert) runs INSIDE host-bucketed shuffle reduce tasks — the driver
+    never holds a wave row. Determinism holds because every duplicate of a
+    url_hash shares its host (the hash determines the URL determines the
+    host), so bucket-local keep-best dedup equals the global one; hosts are
+    disjoint across buckets, so per-host rank math and per-(host,wave)
+    politeness reservations are order-independent; seen shards are keyed by
+    url_hash, so concurrent bucket inserts never interact. Politeness
+    reservations are idempotent per (host, wave) and seen inserts are set
+    unions, so task replay is safe. Each bucket reports its counters + wave
+    hash set to ``state`` (idempotent per bucket) for the driver's rest
+    filter and metrics."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        hb = (hash64_array(b["host"]) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_b", pa.array(hb, pa.int64()))
+
+    def grant_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return GRANT_SCHEMA.empty_table()
+        bucket = int(t["_b"][0].as_py())
+        t = t.drop_columns(["_b"])
+        # bucket-global keep-best dedup (sort + keep-first)
+        prio = t["priority"].to_numpy(zero_copy_only=False)
+        srank = t["seed_rank"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((srank, -prio.astype(np.float64)))
+        t = t.take(pa.array(order, pa.int64()))
+        h = t["url_hash"].to_numpy(zero_copy_only=False)
+        keep = ~pd.Series(h).duplicated().to_numpy()
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+        wave = t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+        granted, denied, counters = _grant_wave(
+            wave, seen, politeness, RobotsCache(), host_budget, wave_no
+        )
+        # blocking get: the report lands before the task completes
+        ray.get(
+            state.report_grant.remote(
+                bucket,
+                counters,
+                wave["url_hash"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                .tobytes(),
+            )
+        )
+        gt = granted.append_column(
+            "granted", pa.array(np.ones(granted.num_rows, dtype=bool))
+        )
+        dt = (
+            denied.append_column(
+                "fetch_seq", pa.array(np.full(denied.num_rows, -1, np.int64), pa.int64())
+            )
+            .append_column(
+                "wave",
+                pa.array(np.full(denied.num_rows, wave_no, np.int32), pa.int32()),
+            )
+            .append_column("granted", pa.array(np.zeros(denied.num_rows, dtype=bool)))
+        )
+        return pa.concat_tables([gt, dt]).cast(GRANT_SCHEMA)
+
+    return (
+        sel.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(grant_bucket, batch_format="pyarrow")
+    )
+
+
 def run_crawl(
     corpus_path: str,
     seeds: rd.Dataset | pa.Table,
@@ -316,7 +458,6 @@ def run_crawl(
 
     seen = SeenSet.create(cfg.n_seen_shards)
     politeness = Politeness.create(cfg.n_politeness_shards)
-    robots = RobotsCache()
 
     # Corpus access: a parquet FILE is broadcast ONCE via the object store
     # (zero-copy Arrow in plasma, shared by every fetch task of every wave);
@@ -352,39 +493,57 @@ def run_crawl(
     if frontier is None:
         frontier = prepare_frontier(seeds).materialize()
 
+    import pyarrow.compute as pc
+
+    counter = _WaveState.remote()
     wave_no = start_wave
     while wave_no < cfg.max_waves:
         t0 = time.time()
-        # ---- 1. wave top-k (frontier-wide sort shuffle) --------------------
-        wave_tbl = _collect(
-            frontier.sort(["priority", "seed_rank"], descending=[True, False]).limit(
-                cfg.wave_size
-            )
-        )
-        if wave_tbl.num_rows == 0:
+        if frontier.count() == 0:  # metadata-only on a materialized dataset
             break
-        # dedup at selection (lazy-deletion PQ): rows arrive in sort order, so
-        # keep='first' keeps the globally best row of each hash
-        wdf = wave_tbl.to_pandas().sort_values(
-            ["priority", "seed_rank"], ascending=[False, True], kind="mergesort"
+        ray.get(counter.reset.remote())
+
+        # ---- 1-3. selection + grant, fully distributed ---------------------
+        # ONE round runs: frontier-wide sort+limit shuffle → per-block
+        # keep-first dedup → host-bucketed grant shuffle (robots, seen
+        # admission, per-host rank-vs-budget, politeness reservation, seen
+        # insert — all inside the reduce tasks). The driver never holds a
+        # wave row; it receives only the per-bucket counters and the wave's
+        # url_hash set (8 B/row) from the wave-state actor.
+        def _block_dedup(b: pa.Table) -> pa.Table:
+            if b.num_rows < 2:
+                return b
+            h = b["url_hash"].to_numpy(zero_copy_only=False)
+            keep = ~pd.Series(h).duplicated().to_numpy()
+            return b if keep.all() else b.filter(pa.array(keep))
+
+        sel = (
+            frontier.sort(["priority", "seed_rank"], descending=[True, False])
+            .limit(cfg.wave_size)
+            .map_batches(_block_dedup, batch_format="pyarrow")
         )
-        wdf = wdf.drop_duplicates("url_hash", keep="first")
-        wave_tbl = pa.Table.from_pandas(wdf, preserve_index=False).cast(FRONTIER_SCHEMA)
+        wave_all = _grant_stage(
+            sel, seen, politeness, cfg.host_budget, wave_no, counter
+        ).materialize()
+        counters = ray.get(counter.grant_totals.remote())
+        n_granted = counters["granted"]
         wave_hashes = np.sort(
-            wave_tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            np.frombuffer(ray.get(counter.wave_hashes.remote()), dtype=np.uint64)
         )
         # lazy deletion: every frontier row sharing a wave hash is dropped
         rest = _filter_not_in(frontier, ray.put(wave_hashes))
-
         t_sort = time.time() - t0
+        t_grant = 0.0  # grant now rides the selection round
 
-        # ---- 2-3. control plane: robots / seen / politeness ----------------
-        t1 = time.time()
-        granted, denied, counters = _grant_wave(
-            wave_tbl, seen, politeness, robots, cfg.host_budget, wave_no
-        )
+        def _granted_rows(b: pa.Table) -> pa.Table:
+            return b.filter(b["granted"]).drop_columns(["granted"])
 
-        t_grant = time.time() - t1
+        def _denied_rows(b: pa.Table) -> pa.Table:
+            return (
+                b.filter(pc.invert(b["granted"]))
+                .select(FRONTIER_COLS)
+                .cast(FRONTIER_SCHEMA)
+            )
 
         # ---- 4. data plane: fetch + decode (actor pool), spool wave --------
         links_ds = None
@@ -392,7 +551,7 @@ def run_crawl(
         ok_n = 0
         t_fetch = t_write = t_links = 0.0
         t1 = time.time()
-        if granted.num_rows:
+        if n_granted:
             # fused streaming pass (task-form): fetch+decode each batch, spool
             # it straight to its own parquet part in the wave dir, and emit
             # ONLY the link rows — the 30 KB/row payloads never enter the
@@ -401,38 +560,62 @@ def run_crawl(
             if os.path.isdir(wdir):  # uncommitted partial from a crashed run
                 shutil.rmtree(wdir)
             os.makedirs(wdir, exist_ok=True)
-            n_blocks = max(1, granted.num_rows // cfg.fetch_batch_size)
+            n_blocks = max(1, n_granted // cfg.fetch_batch_size)
             stage_fn = (
                 fetch_write_links_bucketed_fn(corpus_path, wdir, cfg.max_depth)
                 if bucketed_corpus
                 else fetch_write_links_fn(corpus_ref, wdir, cfg.max_depth)
             )
-            if granted.num_rows <= 2 * cfg.fetch_batch_size:
-                # tail wave: single-block fetch → in-task global dedup in ONE
-                # pipeline round (each extra materialize round costs ~1 s of
-                # pure scheduling; tail waves are all fixed cost)
-                links_ds = _fused_small_wave(granted, stage_fn, seen).materialize()
+            granted_ds = wave_all.map_batches(_granted_rows, batch_format="pyarrow")
+            if n_granted <= 2 * cfg.fetch_batch_size:
+                # tail wave: coalesce the grant buckets to one block, then
+                # fetch → in-task global dedup, all LAZY so the whole tail
+                # wave (fetch+dedup+union) executes in ONE materialize round
+                # with the frontier update below (each extra round costs
+                # ~1 s of pure scheduling)
+                links_ds = _fused_small_wave(
+                    granted_ds.repartition(1), stage_fn, seen, counter
+                )
             else:
                 raw_links = (
-                    rd.from_arrow(granted)
-                    .repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
+                    granted_ds.repartition(min(n_blocks, 4 * cfg.fetch_concurrency))
                     .map_batches(
                         stage_fn,
                         batch_format="pyarrow",
                         batch_size=cfg.fetch_batch_size,
                     )
                 )
-                # materialize the fetch output FIRST (side effect executes
-                # exactly once, link rows stay in the object store), THEN run
-                # the dedup shuffle on the materialized blocks: feeding the
+                # materialize the fetch output (side effect executes exactly
+                # once, link rows stay in the object store): feeding the
                 # fetch straight into an all-to-all lets that operator's
                 # resource reservation throttle the fetch stage (measured
-                # 2.5× wave slowdown at 4 CPUs). Zero driver bytes either way.
+                # 2.5× wave slowdown at 4 CPUs). The dedup shuffle itself is
+                # left LAZY — it executes inside the frontier-union round
+                # below, saving a whole materialize round per steady wave.
                 raw_links = raw_links.materialize()
-                links_ds = _links_dedup_seen(raw_links, seen).materialize()
-            n_discovered = links_ds.count()
+                links_ds = _links_dedup_seen(raw_links, seen, counter=counter)
             t_fetch = time.time() - t1
-            t1 = time.time()
+
+        # ---- 6. frontier update: rest ∪ denied ∪ links (no dedup shuffle —
+        # lazy-deletion PQ; duplicates resolve at a later wave's selection).
+        # ONE materialize round executes the rest-filter, the links dedup
+        # shuffle (and for tail waves the fetch itself) concurrently. --------
+        t1 = time.time()
+        new_frontier = rest
+        if counters["denied"]:
+            new_frontier = new_frontier.union(
+                wave_all.map_batches(_denied_rows, batch_format="pyarrow")
+            )
+        if links_ds is not None:
+            new_frontier = new_frontier.union(links_ds)
+        frontier = new_frontier.materialize()
+        t_union_s = time.time() - t1
+
+        if n_granted:
+            # all link-dedup reduce tasks have reported (they block on the
+            # report RPC before completing, and materialize() returned)
+            n_discovered = ray.get(counter.links_total.remote())
+            t1b = time.time()
             # column-pruned status scan of the spooled wave (metrics only)
             ok_n = count_status(wdir, 200)
             # A6 count reconciliation (the reference cross-checks the
@@ -440,26 +623,16 @@ def run_crawl(
             # M/MendeleyPager.java:121-122, README.md:32-49): every granted
             # row must have been spooled exactly once
             spooled = count_rows(wdir)
-            if spooled != granted.num_rows:
+            if spooled != n_granted:
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "wave %d count mismatch: granted=%d spooled=%d",
-                    wave_no, granted.num_rows, spooled,
+                    wave_no, n_granted, spooled,
                 )
-            t_write = time.time() - t1
+            t_write = time.time() - t1b
 
         t_links = t_write  # discovery now fused into the fetch pass
-
-        # ---- 6. frontier update: rest ∪ denied ∪ links (no dedup shuffle —
-        # lazy-deletion PQ; duplicates resolve at a later wave's selection) ---
-        t1 = time.time()
-        new_frontier = rest
-        if denied.num_rows:
-            new_frontier = new_frontier.union(rd.from_arrow(denied))
-        if links_ds is not None and n_discovered:
-            new_frontier = new_frontier.union(links_ds)
-        frontier = new_frontier.materialize()
         # block-count guard for long crawls: every wave appends rest blocks
         # + denied + link blocks, so a many-wave run accretes hundreds of
         # tiny blocks and the per-wave sort's task count grows with wave
@@ -473,8 +646,8 @@ def run_crawl(
             wave=wave_no,
             **counters,
             fetched_ok=ok_n,
-            spooled=spooled if granted.num_rows else 0,
-            count_match=bool(spooled == granted.num_rows) if granted.num_rows else True,
+            spooled=spooled if n_granted else 0,
+            count_match=bool(spooled == n_granted) if n_granted else True,
             discovered=n_discovered,
             frontier_after=frontier.count(),
             seen_size=seen.size(),
@@ -484,7 +657,7 @@ def run_crawl(
             t_fetch=round(t_fetch, 3),
             t_write=round(t_write, 3),
             t_links=round(t_links, 3),
-            t_union=round(time.time() - t1, 3),
+            t_union=round(t_union_s, 3),
         )
         metrics.append(m)
 

@@ -39,22 +39,41 @@ def robots_allowed_mask(urls):
 class PolitenessShard:
     def __init__(self):
         self.fetch_seq: dict[str, int] = {}
+        # host → (wave, base, n) of the latest reservation: a task-retry
+        # replay of the same wave's reservation returns the SAME base
+        # instead of advancing the counter (grant now runs inside shuffle
+        # reduce tasks, which Ray may re-execute)
+        self.last: dict[str, tuple[int, int, int]] = {}
 
-    def reserve(self, host: str, n: int) -> int:
-        """Reserve n fetch-sequence slots for a host; returns the base seq."""
+    def reserve(self, host: str, n: int, wave: int | None = None) -> int:
+        """Reserve n fetch-sequence slots for a host; returns the base seq.
+        Idempotent per (host, wave) when ``wave`` is given."""
+        if wave is not None:
+            prev = self.last.get(host)
+            if prev is not None and prev[0] == wave:
+                return prev[1]
         base = self.fetch_seq.get(host, 0)
         self.fetch_seq[host] = base + n
+        if wave is not None:
+            self.last[host] = (wave, base, n)
         return base
 
-    def reserve_many(self, hosts: list[str], counts: list[int]) -> list[int]:
+    def reserve_many(
+        self, hosts: list[str], counts: list[int], wave: int | None = None
+    ) -> list[int]:
         """Batched reserve — one message per shard per wave."""
-        return [self.reserve(h, n) for h, n in zip(hosts, counts)]
+        return [self.reserve(h, n, wave) for h, n in zip(hosts, counts)]
 
-    def snapshot(self) -> dict[str, int]:
-        return dict(self.fetch_seq)
+    def snapshot(self) -> dict:
+        return {"fetch_seq": dict(self.fetch_seq), "last": dict(self.last)}
 
-    def restore(self, state: dict[str, int]) -> None:
-        self.fetch_seq = dict(state)
+    def restore(self, state: dict) -> None:
+        if "fetch_seq" in state:
+            self.fetch_seq = dict(state["fetch_seq"])
+            self.last = {h: tuple(v) for h, v in state.get("last", {}).items()}
+        else:  # legacy flat snapshot
+            self.fetch_seq = dict(state)
+            self.last = {}
 
 
 class Politeness:
@@ -73,10 +92,12 @@ class Politeness:
 
         return self.shards[hash64_scalar(host) % self.n]
 
-    def reserve(self, host: str, n: int) -> int:
-        return ray.get(self.shard_for(host).reserve.remote(host, n))
+    def reserve(self, host: str, n: int, wave: int | None = None) -> int:
+        return ray.get(self.shard_for(host).reserve.remote(host, n, wave))
 
-    def reserve_many(self, hosts: list[str], counts: list[int]) -> dict[str, int]:
+    def reserve_many(
+        self, hosts: list[str], counts: list[int], wave: int | None = None
+    ) -> dict[str, int]:
         """Batched cross-shard reserve; returns host → base fetch_seq."""
         from ..functions.hashing import hash64_scalar
 
@@ -86,7 +107,7 @@ class Politeness:
             by_shard.setdefault(s, ([], []))[0].append(h)
             by_shard[s][1].append(n)
         refs = {
-            s: self.shards[s].reserve_many.remote(hs, ns)
+            s: self.shards[s].reserve_many.remote(hs, ns, wave)
             for s, (hs, ns) in by_shard.items()
         }
         out: dict[str, int] = {}
