@@ -53,6 +53,18 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_registry(args) -> int:
+    """Registry phase: re-read the published spool and merge reverse links
+    into the registry table (M/MendeleyDocumentCrawler.java:140-150)."""
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.linker import registry_update_from_spool
+
+    n = registry_update_from_spool(args.crawl_out, args.registry_dir)
+    print(json.dumps({"rows": n, "registry": args.registry_dir}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_synth(args) -> int:
     import pyarrow.parquet as pq
 
@@ -123,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-waves", type=int, default=32)
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
+
+    g = sub.add_parser("registry", help="registry phase: spool re-read → link merge")
+    g.add_argument("--crawl-out", required=True)
+    g.add_argument("--registry-dir", required=True)
+    g.set_defaults(fn=cmd_registry)
 
     s = sub.add_parser("synth", help="generate a deterministic corpus + seeds")
     s.add_argument("--n-corpus", type=int, default=500)

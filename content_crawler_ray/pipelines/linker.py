@@ -120,3 +120,34 @@ def merge_links_into_table(
         .map_groups(collect_and_merge, batch_format="pandas")
         .materialize()
     )
+
+
+def registry_update_from_spool(out_dir: str, registry_dir: str) -> int:
+    """Registry phase as a SPOOL RE-READ — the reference's second pass over
+    the crawl's target dir (M/MendeleyDocumentCrawler.java:140-150
+    ``registryFiles``: after the crawl completes, every spooled response is
+    re-read and fed to the UpdateRegistryHandler).
+
+    Ray shape: ``read_fetched`` resolves the PUBLISHED run's spool, each
+    fetched row contributes a (target=host, field='citedBy',
+    source=url_hash) link, and the links flow through the same idempotent
+    collect-set merge as J4 (`merge_links_into_table`) — re-running the
+    phase adds nothing. Returns the number of fetched rows processed."""
+    import pyarrow.compute as pc
+
+    from .crawl import read_fetched
+
+    fetched = read_fetched(out_dir).materialize()
+
+    def to_links(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "target_id": b["host"],
+                "tag_field": pa.array(["citedBy"] * b.num_rows, pa.string()),
+                "source_id": pc.cast(b["url_hash"], pa.string()),
+            }
+        )
+
+    links = fetched.map_batches(to_links, batch_format="pyarrow")
+    merge_links_into_table(links, registry_dir)
+    return fetched.count()

@@ -134,3 +134,46 @@ def test_compose_fanout_two_sinks_and_rollback(ray_session, tmp_path):
     # pointer still names run 0: the failed run is staged but invisible
     assert published_sink_dir(out, "table") == tdir
     assert read_upsert_table(tdir).num_rows == n
+
+
+def test_registry_phase_spool_reread_idempotent(ray_session, tmp_path):
+    """Registry pass re-reads the published spool (M/MendeleyDocumentCrawler
+    .java:140-150): every fetched host gets the collect-set of its fetched
+    url_hashes; a replay of the phase changes nothing (idempotent merge)."""
+    import pyarrow.parquet as pq
+
+    from content_crawler_ray.config import CrawlConfig
+    from content_crawler_ray.pipelines import crawl
+    from content_crawler_ray.pipelines.linker import registry_update_from_spool
+    from content_crawler_ray.sources import synth
+    from content_crawler_ray.sources.tableio import read_upsert_table
+
+    corpus = synth.make_corpus(60)
+    seeds = synth.make_seeds(120, 60)
+    cpath = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, cpath)
+    out = str(tmp_path / "out")
+    crawl.run_crawl(cpath, seeds, out, CrawlConfig(
+        wave_size=40, host_budget=3, max_waves=6, n_seen_shards=2,
+        n_politeness_shards=2, fetch_concurrency=2, fetch_batch_size=32))
+
+    reg = str(tmp_path / "registry")
+    n = registry_update_from_spool(out, reg)
+    fetched = crawl.read_fetched(out).to_pandas()
+    assert n == len(fetched) > 0
+
+    got = read_upsert_table(reg).to_pandas()
+    exp = (
+        fetched.assign(src=fetched.url_hash.astype("uint64").astype(str))
+        .groupby("host")["src"]
+        .apply(lambda c: ",".join(sorted(set(c))))
+    )
+    assert set(got.target_id) == set(exp.index)
+    for _, row in got.iterrows():
+        assert row.sources == exp[row.target_id]
+
+    registry_update_from_spool(out, reg)  # replay
+    again = read_upsert_table(reg).to_pandas()
+    assert again.sort_values(["target_id"]).reset_index(drop=True).equals(
+        got.sort_values(["target_id"]).reset_index(drop=True)
+    )

@@ -515,3 +515,41 @@ def test_embedding_neardup_hot_label_salting_exact(ray_session, tmp_path):
     unsalted = pairset(hot_label_rows=10**9)        # salting never fires
     salted = pairset(hot_label_rows=50, n_salt=3)   # hot label → 6 groups
     assert salted == unsalted and len(salted) > 100
+
+
+def test_species_lookup_cached_actor_form(ray_session, sf_dir):
+    """ST4 cached-actor form (M/clients/SpeciesService.java:28-43): the
+    LRU-cached lookup stage agrees row-for-row with the vectorized explode
+    oracle query, caches distinct keys (second pass adds zero service
+    calls), and runs as an actor-pool map_batches stage."""
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.queries import q_st4_taxa_expand
+    from content_crawler_ray.stages.lookup import SpeciesLookupStage
+
+    # direct-call cache behavior
+    stage = SpeciesLookupStage(cache_size=2048)
+    docs = pa.table({"doc_id": pa.array(np.arange(300), pa.int64())})
+    out1 = stage(docs)
+    calls_after_first = stage.service_calls
+    out2 = stage(docs)  # same keys → all cache hits
+    assert stage.service_calls == calls_after_first
+    assert out1.equals(out2)
+
+    # row-for-row parity with the vectorized oracle-checked query
+    exp = (
+        q_st4_taxa_expand(sf_dir).to_pandas()
+        .sort_values(["doc_id", "taxon"]).reset_index(drop=True)
+    )
+    got = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(SpeciesLookupStage, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values(["doc_id", "taxon"]).reset_index(drop=True)
+    )
+    assert got.equals(exp)
+
+    # LRU eviction keeps the cache bounded
+    small = SpeciesLookupStage(cache_size=8)
+    small(docs)
+    assert len(small.cache) == 8
