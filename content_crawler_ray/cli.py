@@ -37,16 +37,26 @@ def cmd_crawl(args) -> int:
     ray = _ray_session(args.num_cpus)
     import pyarrow.parquet as pq
 
-    from .config import CrawlConfig
+    from .config import CrawlConfig, load_config
     from .pipelines.crawl import run_crawl
 
     seeds = pq.read_table(args.seeds)
-    cfg = CrawlConfig(
-        wave_size=args.wave_size,
-        host_budget=args.host_budget,
-        max_waves=args.max_waves,
-        resume=args.resume,
-    )
+    if args.conf:
+        # YAML pipeline spec (R/configuration.yml analog); explicit CLI
+        # flags override file values, like the reference's picocli overrides
+        cfg, _extras = load_config(args.conf)
+        for field in ("wave_size", "host_budget", "max_waves"):
+            v = getattr(args, field)
+            if v is not None:
+                setattr(cfg, field, v)
+        cfg.resume = bool(args.resume or cfg.resume)
+    else:
+        cfg = CrawlConfig(
+            wave_size=args.wave_size if args.wave_size is not None else 10_000,
+            host_budget=args.host_budget if args.host_budget is not None else 4,
+            max_waves=args.max_waves if args.max_waves is not None else 32,
+            resume=args.resume,
+        )
     res = run_crawl(args.corpus, seeds, args.out, cfg)
     print(json.dumps({"n_waves": res["n_waves"], "seen": res["seen_size"], "out": args.out}))
     ray.shutdown()
@@ -130,9 +140,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--corpus", required=True)
     c.add_argument("--seeds", required=True)
     c.add_argument("--out", required=True)
-    c.add_argument("--wave-size", type=int, default=10_000)
-    c.add_argument("--host-budget", type=int, default=4)
-    c.add_argument("--max-waves", type=int, default=32)
+    c.add_argument("--conf", help="YAML pipeline spec (configuration.yml analog)")
+    c.add_argument("--wave-size", type=int, default=None)
+    c.add_argument("--host-budget", type=int, default=None)
+    c.add_argument("--max-waves", type=int, default=None)
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
 

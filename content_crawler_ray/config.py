@@ -19,3 +19,27 @@ class CrawlConfig:
     fetch_batch_size: int = 1024  # rows per fetch/decode batch (binary-heavy → small)
     resume: bool = False          # resume from the latest committed wave checkpoint
     checkpoint: bool = True       # write per-wave state + manifest
+
+
+def load_config(path: str) -> tuple[CrawlConfig, dict]:
+    """YAML pipeline spec → (CrawlConfig, extras) — the reference's
+    configuration.yml surface (conf/ContentCrawlConfiguration.java:44-302,
+    R/configuration.yml). Recognized top-level key ``crawl:`` maps onto
+    CrawlConfig fields (lowerCamel or snake_case); everything else (paths,
+    controlled tags, …) is returned verbatim in ``extras`` for the caller.
+    Unknown crawl keys raise, like the reference's strict Jackson binding."""
+    import re
+
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    crawl = doc.pop("crawl", {}) or {}
+    fields = {f for f in CrawlConfig.__dataclass_fields__}
+    kwargs = {}
+    for key, val in crawl.items():
+        snake = re.sub(r"(?<!^)(?=[A-Z])", "_", str(key)).lower()
+        if snake not in fields:
+            raise KeyError(f"unknown crawl config key: {key!r}")
+        kwargs[snake] = val
+    return CrawlConfig(**kwargs), doc

@@ -86,3 +86,27 @@ def test_new_queries_match_oracle(ray_session, sf_dir, name):
     exp = canon(con.sql(sql).df())
     assert len(got) == len(exp) and list(got.columns) == list(exp.columns)
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_yaml_config_loading(tmp_path):
+    """YAML pipeline spec (R/configuration.yml analog): crawl keys bind to
+    CrawlConfig (lowerCamel or snake_case), unknown keys raise (the
+    reference's strict Jackson binding), extras pass through."""
+    import pytest as _pytest
+
+    from content_crawler_ray.config import load_config
+
+    p = tmp_path / "crawl.yml"
+    p.write_text(
+        "crawl:\n  waveSize: 123\n  host_budget: 7\n  maxWaves: 5\n"
+        "controlledTags:\n  topics: [Ecology, Taxonomy]\n"
+    )
+    cfg, extras = load_config(str(p))
+    assert cfg.wave_size == 123 and cfg.host_budget == 7 and cfg.max_waves == 5
+    assert cfg.fetch_batch_size == 1024  # defaults intact
+    assert extras["controlledTags"]["topics"] == ["Ecology", "Taxonomy"]
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("crawl:\n  noSuchKnob: 1\n")
+    with _pytest.raises(KeyError):
+        load_config(str(bad))
