@@ -170,21 +170,27 @@ def _robots_mask(wave: pa.Table, robots: RobotsCache) -> pa.Array:
 @ray.remote(num_cpus=0)
 class _WaveState:
     """Per-wave bookkeeping for lazily-executed distributed stages. Every
-    report is keyed by bucket and OVERWRITES that bucket's slot, so task
+    report is keyed by (wave, bucket) and OVERWRITES that slot, so task
     retries and lineage re-execution stay idempotent (an additive counter
-    would double-count on replay)."""
+    would double-count on replay). Reports tagged with a wave other than the
+    current one are DROPPED: a cross-wave lineage re-execution of a stale
+    wave's lazy stage (e.g. lost-block recovery of a links dedup_filter after
+    the wave advanced) must not write into the current wave's slots."""
 
     def __init__(self):
+        self.wave = -1
         self.links: dict[int, int] = {}
         self.grants: dict[int, dict] = {}
         self.hashes: dict[int, bytes] = {}
 
-    def report_links(self, bucket: int, n: int) -> None:
-        self.links[bucket] = n
+    def report_links(self, wave: int, bucket: int, n: int) -> None:
+        if wave == self.wave:
+            self.links[bucket] = n
 
-    def report_grant(self, bucket: int, stats: dict, hashes: bytes) -> None:
-        self.grants[bucket] = stats
-        self.hashes[bucket] = hashes
+    def report_grant(self, wave: int, bucket: int, stats: dict, hashes: bytes) -> None:
+        if wave == self.wave:
+            self.grants[bucket] = stats
+            self.hashes[bucket] = hashes
 
     def links_total(self) -> int:
         return sum(self.links.values())
@@ -196,14 +202,15 @@ class _WaveState:
     def wave_hashes(self) -> bytes:
         return b"".join(self.hashes[k] for k in sorted(self.hashes))
 
-    def reset(self) -> None:
+    def reset(self, wave: int) -> None:
+        self.wave = wave
         self.links = {}
         self.grants = {}
         self.hashes = {}
 
 
 def _links_dedup_seen(
-    links: rd.Dataset, seen: SeenSet, n_buckets: int = 16, counter=None
+    links: rd.Dataset, seen: SeenSet, n_buckets: int = 16, counter=None, wave_no: int = 0
 ) -> rd.Dataset:
     """Self-dedup keep-best + seen-filter of discovered links as Dataset
     stages: bucket on url_hash, one vectorized pandas keep-best pass per
@@ -231,7 +238,7 @@ def _links_dedup_seen(
         h = g["url_hash"].to_numpy().astype(np.uint64)
         out = g[~seen.contains(h)]
         if counter is not None:  # blocking get → report delivered before the
-            ray.get(counter.report_links.remote(bucket, len(out)))  # task completes
+            ray.get(counter.report_links.remote(wave_no, bucket, len(out)))  # task completes
         return out
 
     to_schema = lambda b: b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)  # noqa: E731
@@ -257,7 +264,8 @@ def _links_dedup_seen(
 
 
 def _fused_small_wave(
-    granted: rd.Dataset | pa.Table, stage_fn, seen: SeenSet, counter=None
+    granted: rd.Dataset | pa.Table, stage_fn, seen: SeenSet, counter=None,
+    wave_no: int = 0,
 ) -> rd.Dataset:
     """Tail-wave fast path: the granted set fits one block, so fetch+spool,
     global link dedup and the seen filter run as consecutive map stages of a
@@ -271,7 +279,7 @@ def _fused_small_wave(
         h = g["url_hash"].to_numpy().astype(np.uint64)
         out = g[~seen.contains(h)]
         if counter is not None:
-            ray.get(counter.report_links.remote(0, len(out)))
+            ray.get(counter.report_links.remote(wave_no, 0, len(out)))
         return out
 
     if isinstance(granted, pa.Table):
@@ -289,17 +297,24 @@ def _fused_small_wave(
 
 def _grant_wave(
     wave: pa.Table, seen: SeenSet, politeness: Politeness, robots: RobotsCache,
-    host_budget: int, wave_no: int
+    host_budget: int, wave_no: int, bucket: int = 0
 ) -> tuple[pa.Table, pa.Table, dict]:
     """Control-plane scheduling of one O(K) wave: robots → seen → politeness.
 
     Returns (granted ⊕ fetch_seq/wave cols, denied frontier rows, counters).
     Deterministic: pure rank math over (priority, seed_rank, host).
+    Replay-idempotent: admission uses (wave, bucket)-tagged seen calls — a
+    replayed task's own prior inserts read as unseen, so the re-executed
+    admission (and hence the whole deterministic grant) equals the original.
     """
     n_wave = wave.num_rows
     allowed = wave.filter(_robots_mask(wave, robots))
     hashes = allowed["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    admitted = allowed.filter(pa.array(~seen.contains(hashes))) if len(hashes) else allowed
+    admitted = (
+        allowed.filter(pa.array(~seen.contains_tagged(hashes, wave_no, bucket)))
+        if len(hashes)
+        else allowed
+    )
 
     # pure numpy/Arrow grant math (this is serial driver time — at the high
     # parallelism leg it is an Amdahl term, so no pandas round trips):
@@ -336,7 +351,11 @@ def _grant_wave(
     gtbl = ordered.filter(pa.array(granted_mask))
     fetch_seq = rank[granted_mask] + base_by_code[g_codes]
     if gtbl.num_rows:
-        seen.insert(gtbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        seen.insert_tagged(
+            gtbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            wave_no,
+            bucket,
+        )
 
     granted = gtbl.append_column(
         "fetch_seq", pa.array(fetch_seq, pa.int64())
@@ -407,11 +426,12 @@ def _grant_stage(
             t = t.filter(pa.array(keep))
         wave = t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
         granted, denied, counters = _grant_wave(
-            wave, seen, politeness, RobotsCache(), host_budget, wave_no
+            wave, seen, politeness, RobotsCache(), host_budget, wave_no, bucket
         )
         # blocking get: the report lands before the task completes
         ray.get(
             state.report_grant.remote(
+                wave_no,
                 bucket,
                 counters,
                 wave["url_hash"]
@@ -501,7 +521,7 @@ def run_crawl(
         t0 = time.time()
         if frontier.count() == 0:  # metadata-only on a materialized dataset
             break
-        ray.get(counter.reset.remote())
+        ray.get(counter.reset.remote(wave_no))
 
         # ---- 1-3. selection + grant, fully distributed ---------------------
         # ONE round runs: frontier-wide sort+limit shuffle → per-block
@@ -574,7 +594,7 @@ def run_crawl(
                 # with the frontier update below (each extra round costs
                 # ~1 s of pure scheduling)
                 links_ds = _fused_small_wave(
-                    granted_ds.repartition(1), stage_fn, seen, counter
+                    granted_ds.repartition(1), stage_fn, seen, counter, wave_no
                 )
             else:
                 raw_links = (
@@ -593,7 +613,9 @@ def run_crawl(
                 # left LAZY — it executes inside the frontier-union round
                 # below, saving a whole materialize round per steady wave.
                 raw_links = raw_links.materialize()
-                links_ds = _links_dedup_seen(raw_links, seen, counter=counter)
+                links_ds = _links_dedup_seen(
+                    raw_links, seen, counter=counter, wave_no=wave_no
+                )
             t_fetch = time.time() - t1
 
         # ---- 6. frontier update: rest ∪ denied ∪ links (no dedup shuffle —

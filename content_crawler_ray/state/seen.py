@@ -58,6 +58,19 @@ class SeenShard:
         self._spill_rows = spill_rows
         self._bloom_pages: list[BloomFilter] = []
         self._n_spilled = 0
+        # replay-idempotence tags: (wave, bucket) → sorted keys this tag
+        # inserted. A replayed grant task re-running contains_tagged treats
+        # its OWN prior insertions as unseen, so the re-executed admission
+        # equals the original one (grant math is otherwise deterministic).
+        # Only the current wave's tags are retained (GC'd on wave advance),
+        # so tag memory is bounded by one wave's novel keys.
+        self._tags: dict[tuple[int, int], np.ndarray] = {}
+        self._tag_wave = -1
+
+    def _tag_gc(self, wave: int) -> None:
+        if wave > self._tag_wave:
+            self._tags = {k: v for k, v in self._tags.items() if k[0] >= wave}
+            self._tag_wave = wave
 
     def _member(self, keys: np.ndarray) -> np.ndarray:
         # cuckoo screens the EXACT tiers only (a spill-time overflow rebuild
@@ -118,6 +131,31 @@ class SeenShard:
             self._insert_novel(novel)
         return len(novel)
 
+    def contains_tagged(self, keys: np.ndarray, wave: int, bucket: int) -> np.ndarray:
+        """Membership that treats keys this (wave, bucket) tag itself inserted
+        as UNSEEN — a replayed grant task gets the same admission verdicts as
+        its first execution (keys other tags inserted still read as seen)."""
+        self._tag_gc(wave)
+        out = self._member(keys)
+        own = self._tags.get((wave, bucket))
+        if own is not None and len(own) and out.any():
+            out &= ~_in_sorted(own, keys)
+        return out
+
+    def insert_tagged(self, keys: np.ndarray, wave: int, bucket: int) -> int:
+        """Insert, recording which keys were novel under this (wave, bucket)
+        tag. Idempotent under task replay: the second execution inserts
+        nothing new and the tag set is unchanged (union of equal sets)."""
+        self._tag_gc(wave)
+        u = np.unique(keys)
+        novel = u[~self._member(u)]
+        if len(novel):
+            self._insert_novel(novel)
+        tag = (wave, bucket)
+        prev = self._tags.get(tag)
+        self._tags[tag] = novel if prev is None else np.union1d(prev, novel)
+        return len(novel)
+
     def contains_and_insert(self, keys: np.ndarray) -> np.ndarray:
         """True where the key was already present; inserts the rest.
         First occurrence within the batch wins (duplicates → True)."""
@@ -171,11 +209,11 @@ class SeenSet:
         parts = [np.nonzero(sh == s)[0] for s in range(self.n)]
         return parts
 
-    def _gather(self, keys: np.ndarray, method: str) -> np.ndarray:
+    def _gather(self, keys: np.ndarray, method: str, *args) -> np.ndarray:
         keys = keys.astype(np.uint64, copy=False)
         parts = self._scatter(keys)
         refs = [
-            getattr(self.shards[s], method).remote(keys[idx])
+            getattr(self.shards[s], method).remote(keys[idx], *args)
             for s, idx in enumerate(parts)
             if len(idx)
         ]
@@ -191,6 +229,9 @@ class SeenSet:
     def contains(self, keys: np.ndarray) -> np.ndarray:
         return self._gather(keys, "contains")
 
+    def contains_tagged(self, keys: np.ndarray, wave: int, bucket: int) -> np.ndarray:
+        return self._gather(keys, "contains_tagged", wave, bucket)
+
     def contains_and_insert(self, keys: np.ndarray) -> np.ndarray:
         return self._gather(keys, "contains_and_insert")
 
@@ -199,6 +240,17 @@ class SeenSet:
         parts = self._scatter(keys)
         ray.get(
             [self.shards[s].insert.remote(keys[idx]) for s, idx in enumerate(parts) if len(idx)]
+        )
+
+    def insert_tagged(self, keys: np.ndarray, wave: int, bucket: int) -> None:
+        keys = keys.astype(np.uint64, copy=False)
+        parts = self._scatter(keys)
+        ray.get(
+            [
+                self.shards[s].insert_tagged.remote(keys[idx], wave, bucket)
+                for s, idx in enumerate(parts)
+                if len(idx)
+            ]
         )
 
     def size(self) -> int:

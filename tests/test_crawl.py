@@ -242,3 +242,76 @@ def test_publish_pointer_hides_partial_runs(ray_session, corpus_and_seeds, tmp_p
     assert final.equals(baseline)  # same seeds → same product
     runs = [n for n in os.listdir(tableio.staging_root(out)) if n.startswith("run_")]
     assert runs == [f"run_{res['run_id']:04d}"]  # old runs removed
+
+
+def test_grant_replay_idempotent(ray_session):
+    """ADVICE r3 (medium): a Ray replay of a grant_bucket task must reproduce
+    the ORIGINAL admission — its own first execution's seen inserts read as
+    unseen via the (wave, bucket) tag, so no granted row is lost and no
+    previously-denied row is granted with a recycled fetch_seq base."""
+    import pyarrow as pa
+
+    from content_crawler_ray.pipelines.crawl import FRONTIER_SCHEMA, _grant_wave
+    from content_crawler_ray.state.politeness import Politeness
+    from content_crawler_ray.state.robots import RobotsCache
+    from content_crawler_ray.state.seen import SeenSet
+    from content_crawler_ray.functions.hashing import hash64_array
+
+    n = 40
+    urls = pa.array([f"http://h{i % 4}.test/p/{i}" for i in range(n)])
+    hashes = hash64_array(urls)
+    wave = pa.table(
+        {
+            "url": urls,
+            "url_hash": pa.array(hashes, pa.uint64()),
+            "host": pa.array([f"h{i % 4}.test" for i in range(n)]),
+            "priority": pa.array([float(i % 7) for i in range(n)], pa.float64()),
+            "depth": pa.array([0] * n, pa.int32()),
+            "seed_rank": pa.array(list(range(n)), pa.int64()),
+        }
+    ).cast(FRONTIER_SCHEMA)
+
+    seen = SeenSet.create(2)
+    pol = Politeness.create(2)
+    # pre-seed some keys as if granted by an earlier wave
+    seen.insert(hashes[:5].astype("uint64"))
+
+    first = _grant_wave(wave, seen, pol, RobotsCache(), 3, wave_no=1, bucket=7)
+    size_after_first = seen.size()
+    replay = _grant_wave(wave, seen, pol, RobotsCache(), 3, wave_no=1, bucket=7)
+
+    for a, b in zip(first[:2], replay[:2]):
+        assert a.num_rows == b.num_rows
+        assert a.column("url_hash").to_pylist() == b.column("url_hash").to_pylist()
+    assert first[0].column("fetch_seq").to_pylist() == replay[0].column("fetch_seq").to_pylist()
+    assert first[2] == replay[2]  # counters identical
+    assert seen.size() == size_after_first  # replay inserted nothing new
+    assert first[0].num_rows > 0 and first[2]["admitted"] < n  # pre-seen excluded
+
+    # the NEXT wave must observe this wave's inserts (tags don't leak forward)
+    g_hashes = first[0].column("url_hash").to_numpy(zero_copy_only=False).astype("uint64")
+    assert seen.contains_tagged(g_hashes, 2, 7).all()
+
+
+def test_wavestate_drops_stale_wave_reports(ray_session):
+    """ADVICE r3 (low): cross-wave lineage re-execution of a stale wave's lazy
+    stage must not write into the current wave's counter slots."""
+    import ray as _ray
+
+    from content_crawler_ray.pipelines.crawl import _WaveState
+
+    st = _WaveState.remote()
+    _ray.get(st.reset.remote(3))
+    _ray.get(st.report_links.remote(3, 0, 10))
+    _ray.get(st.report_links.remote(2, 1, 99))  # stale wave-2 replay → dropped
+    assert _ray.get(st.links_total.remote()) == 10
+    _ray.get(st.report_grant.remote(2, 0, {"granted": 99}, b""))  # stale → dropped
+    _ray.get(
+        st.report_grant.remote(
+            3, 0,
+            {"wavefront": 5, "robots_dropped": 0, "admitted": 5, "granted": 4, "denied": 1},
+            b"\x00" * 8,
+        )
+    )
+    totals = _ray.get(st.grant_totals.remote())
+    assert totals["granted"] == 4 and totals["wavefront"] == 5
