@@ -10,8 +10,9 @@ combining 67k partial rows (see BASELINE.md notes) regardless of key type or
 partition count. Instead the partials are hash-bucketed on the key
 (deterministic ``hash_pandas_object``) and each bucket is combined with one
 vectorized pandas groupby inside ``groupby(bucket).map_groups`` — n_buckets
-distributed combines, ~4× faster here and linearly scalable (raise n_buckets
-with cluster size; keys never straddle buckets).
+distributed combines, ~4× faster here and linearly scalable (n_buckets is
+derived from the cluster size via runtime.n_buckets_for; keys never
+straddle buckets).
 """
 
 from __future__ import annotations
@@ -19,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from ..runtime import n_buckets_for
 
 AggSpec = dict[str, str]  # column -> "sum" | "min" | "max"
 
@@ -35,9 +38,10 @@ def combine_partials(
     partials: rd.Dataset,
     key_cols: list[str],
     aggs: AggSpec,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Combine partial-aggregate rows into one row per key."""
+    n_buckets = n_buckets or n_buckets_for()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_cols].astype(str).agg("\x00".join, axis=1) if len(key_cols) > 1 else df[key_cols[0]], index=False)

@@ -64,6 +64,7 @@ import ray.data as rd
 
 from ..config import CrawlConfig
 from ..functions.hashing import hash64_array
+from ..runtime import n_buckets_for
 from ..functions.urls import canonicalize_array, host_of_array
 from ..sources import tableio
 from ..stages.fetch import (
@@ -210,7 +211,8 @@ class _WaveState:
 
 
 def _links_dedup_seen(
-    links: rd.Dataset, seen: SeenSet, n_buckets: int = 16, counter=None, wave_no: int = 0
+    links: rd.Dataset, seen: SeenSet, n_buckets: int | None = None, counter=None,
+    wave_no: int = 0,
 ) -> rd.Dataset:
     """Self-dedup keep-best + seen-filter of discovered links as Dataset
     stages: bucket on url_hash, one vectorized pandas keep-best pass per
@@ -220,6 +222,7 @@ def _links_dedup_seen(
     driver holds only the plan). Deterministic: keep-best orders by
     (priority DESC, seed_rank ASC) and seed_ranks are unique per discovery
     (parent_rank*1000+j), so bucket-local dedup equals the global one."""
+    n_buckets = n_buckets or n_buckets_for()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         h = b["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -390,7 +393,7 @@ def _grant_stage(
     host_budget: int,
     wave_no: int,
     state,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Distributed wave grant: the whole control plane (selection dedup,
     robots, seen admission, per-host rank-vs-budget, politeness reservation,
@@ -405,6 +408,7 @@ def _grant_stage(
     unions, so task replay is safe. Each bucket reports its counters + wave
     hash set to ``state`` (idempotent per bucket) for the driver's rest
     filter and metrics."""
+    n_buckets = n_buckets or n_buckets_for()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         hb = (hash64_array(b["host"]) % np.uint64(n_buckets)).astype(np.int64)

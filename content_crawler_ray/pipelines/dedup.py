@@ -23,8 +23,10 @@ import ray.data as rd
 
 from ..functions import text as T
 from ..functions.hashing import hash64_array
+from ..runtime import n_buckets_for, report_skips
 
-MAX_BUCKET = 64  # LSH buckets larger than this are skipped (logged); a bucket
+MAX_BUCKET = 64  # LSH buckets larger than this are skipped (logged + counted
+# via runtime.report_skips — a silent cap would read as full coverage); a bucket
 # this hot at 128-perm/16-band parameters means near-identical boilerplate —
 # the scale path salts it by doc_id range instead of emitting O(n²) pairs.
 
@@ -32,7 +34,7 @@ MAX_BUCKET = 64  # LSH buckets larger than this are skipped (logged); a bucket
 def exact_dedup_first(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Keep min-doc_id row per exact text (A1 analog, keyed on content hash)."""
 
-    n_buckets = 16
+    n_buckets = n_buckets_for()
 
     def add_hash(b: pa.Table) -> pa.Table:
         h = hash64_array(b[text_col])
@@ -83,18 +85,24 @@ class MinHashStage:
         )
 
 
-def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _emit_pairs(g: pd.DataFrame, skip_counter=None) -> pd.DataFrame:
     """Candidate pairs from every (band, band_hash) group of one shuffle
     bucket — vectorized per group, ONE map_groups call per bucket (ray's
     per-group dispatch is Python-level and pathological at many tiny groups)."""
     out_a, out_b = [], []
+    n_skipped = rows_skipped = 0
     for _, grp in g.groupby(["band", "band_hash"], sort=False):
         ids = np.sort(grp["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > MAX_BUCKET:
+        if len(ids) > MAX_BUCKET:
+            n_skipped += 1
+            rows_skipped += len(ids)
+            continue
+        if len(ids) < 2:
             continue
         a, b = np.triu_indices(len(ids), k=1)
         out_a.append(ids[a])
         out_b.append(ids[b])
+    report_skips(skip_counter, n_skipped, rows_skipped, "minhash_lsh")
     if not out_a:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
@@ -102,11 +110,13 @@ def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
-def _candidate_pairs_raw(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+def _candidate_pairs_raw(
+    docs: rd.Dataset, concurrency: int = 4, skip_counter=None
+) -> rd.Dataset:
     """LSH candidate (doc_a, doc_b) pairs, UNdeduped — a pair appears once per
     shared band. One groupby shuffle keyed on a hash BUCKET of the band key so
     each reduce handles a whole bucket of groups with one vectorized pass."""
-    n_buckets = 32
+    n_buckets = n_buckets_for(floor=32)
     # autoscaling pool (min 1): a fixed pool of `concurrency` actors could
     # reserve every CPU of a small session and starve the downstream
     # groupby shuffle (deadlock) — see ray_guide actor-pool sizing note
@@ -124,7 +134,9 @@ def _candidate_pairs_raw(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
     return (
         lsh.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
-        .map_groups(_emit_pairs, batch_format="pandas")
+        .map_groups(
+            lambda g: _emit_pairs(g, skip_counter), batch_format="pandas"
+        )
     )
 
 
@@ -132,7 +144,7 @@ def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Datase
     """LSH candidate (doc_a, doc_b) pairs, deduped (one extra bucketed
     shuffle; the verify pipeline skips it by deduping inside its own
     pair-keyed shuffle instead)."""
-    n_buckets = 32
+    n_buckets = n_buckets_for(floor=32)
     pairs = _candidate_pairs_raw(docs, concurrency)
 
     def add_pair_bucket(b: pa.Table) -> pa.Table:
@@ -178,7 +190,8 @@ def _read_docs(docs_path: str, columns: list[str]) -> rd.Dataset:
 
 
 def minhash_verified_pairs(
-    docs_path: str, threshold: float = 0.8, shingle_k: int = 5, concurrency: int = 4
+    docs_path: str, threshold: float = 0.8, shingle_k: int = 5, concurrency: int = 4,
+    skip_counter=None,
 ) -> rd.Dataset:
     """Near-dup pairs with exact Jaccard ≥ threshold, LSH-pruned.
 
@@ -193,7 +206,7 @@ def minhash_verified_pairs(
     # UNdeduped candidates: duplicate (multi-band) pairs are collapsed inside
     # the verify shuffle below, which is keyed on the pair anyway — saves a
     # whole sort round vs deduping separately
-    cands = _candidate_pairs_raw(docs, concurrency)
+    cands = _candidate_pairs_raw(docs, concurrency, skip_counter)
 
     # the candidate stage ends in pandas-block map_groups output; normalize
     # to uniform Arrow blocks with an exact schema
@@ -209,7 +222,7 @@ def minhash_verified_pairs(
 
     from ..functions.hashing import splitmix64
 
-    n_buckets = 32
+    n_buckets = n_buckets_for(floor=32)
     _endpoint_schema = pa.schema(
         [
             ("key", pa.int64()),
@@ -368,7 +381,9 @@ def minhash_verified_pairs(
     return with_text.groupby("_pb").map_groups(verify, batch_format="pyarrow")
 
 
-def simhash_neardup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
+def simhash_neardup_pairs(
+    docs_path: str, max_hamming: int = 3, skip_counter=None
+) -> rd.Dataset:
     """SimHash near-dup pairs: 64-bit SimHash per doc (one vectorized batch
     kernel), then the shared hamming-LSH band engine (pipelines/hamming.py)
     — candidates from shared 16-bit bands, exact-hamming verify with the
@@ -381,7 +396,8 @@ def simhash_neardup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
     docs = _read_docs(docs_path, ["doc_id", "text"])
     sigs = simhash_signatures(docs)
     return hamming_lsh_pairs(
-        sigs, id_col="doc_id", hash_col="simhash", max_hamming=max_hamming
+        sigs, id_col="doc_id", hash_col="simhash", max_hamming=max_hamming,
+        skip_counter=skip_counter,
     )
 
 

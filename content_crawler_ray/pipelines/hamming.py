@@ -21,8 +21,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..runtime import n_buckets_for, report_skips
+
 N_BANDS = 4
 MAX_BUCKET = 256  # a band bucket this hot means near-constant inputs; skip O(n²)
+# (never silently: skips are logged + counted via runtime.report_skips)
 
 # vectorized popcount via byte-LUT (module-level: built once per worker)
 _POPCNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
@@ -50,10 +53,13 @@ def hamming_lsh_pairs(
     id_col: str,
     hash_col: str,
     max_hamming: int = 6,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
+    skip_counter=None,
 ) -> rd.Dataset:
     """(id_a, id_b, hamming) pairs with hash distance ≤ threshold. The id
     column may be string or integer; output id columns keep its type."""
+    n_buckets = n_buckets or n_buckets_for(floor=32)
+
     def band_rows(b: pa.Table) -> pa.Table:
         h = b[hash_col].to_numpy(zero_copy_only=False)
         bands = bands_of(h)
@@ -77,10 +83,15 @@ def hamming_lsh_pairs(
         """Candidate pairs per (band_idx, band_val) group; both hashes ride
         along so verify never needs a lookup table."""
         out_a, out_b, out_ha, out_hb = [], [], [], []
+        n_skipped = rows_skipped = 0
         for _, grp in g.groupby(["band_idx", "band_val"], sort=False):
             ids = grp["id"].to_numpy()
             hs = grp["h"].to_numpy()
-            if len(ids) < 2 or len(ids) > MAX_BUCKET:
+            if len(ids) > MAX_BUCKET:
+                n_skipped += 1
+                rows_skipped += len(ids)
+                continue
+            if len(ids) < 2:
                 continue
             order = np.argsort(ids)
             ids, hs = ids[order], hs[order]
@@ -89,6 +100,7 @@ def hamming_lsh_pairs(
             out_b.append(ids[b])
             out_ha.append(hs[a])
             out_hb.append(hs[b])
+        report_skips(skip_counter, n_skipped, rows_skipped, "hamming_lsh")
         if not out_a:
             return pd.DataFrame(
                 {

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import hash64_any
+from ..runtime import n_buckets_for
 
 
 def bucketed_inner_join(
@@ -35,7 +36,7 @@ def bucketed_inner_join(
     right_on: str,
     left_schema: dict[str, pa.DataType],
     right_schema: dict[str, pa.DataType],
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Inner equi-join of two Datasets on a single key column.
 
@@ -44,6 +45,7 @@ def bucketed_inner_join(
     with typed nulls so Dataset.union sees uniform blocks. Output columns:
     all left columns, then right columns minus the right key.
     """
+    n_buckets = n_buckets or n_buckets_for(floor=32)
     left_cols = list(left_schema)
     right_cols = list(right_schema)
     union_fields = (

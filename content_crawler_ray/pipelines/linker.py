@@ -26,6 +26,10 @@ import ray.data as rd
 from ..functions.hashing import hash64_array
 from ..sources.tableio import _bucket_path, _merge_bucket
 
+# Persistent TABLE-LAYOUT constant, not a shuffle knob: the collect-set
+# shuffle is deliberately aligned with the keyed table's on-disk bucket files
+# (_bucket_path(table_dir, b)), which must stay stable across runs — unlike
+# the transient shuffle buckets sized by runtime.n_buckets_for.
 N_BUCKETS = 16
 
 

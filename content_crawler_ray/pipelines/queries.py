@@ -28,6 +28,7 @@ from ..functions import text as T
 from .agg import combine_partials
 from ..functions.dates import created_at
 from ..functions.hashing import hash64_array
+from ..runtime import n_buckets_for
 from ..functions.tags import parse_tags
 
 
@@ -522,7 +523,7 @@ def q_a3_collect_set(sf_dir: str):
     users of a bucket in ONE vectorized pandas pass (linker.py pattern) — not
     one Python ``map_groups`` dispatch per user."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    n_buckets = 16
+    n_buckets = n_buckets_for()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from ..functions.hashing import splitmix64
@@ -575,7 +576,7 @@ def q_a5_union_distinct(sf_dir: str):
     # bucketed distinct: ONE vectorized pandas dedup per shuffle bucket, not
     # a Python map_groups dispatch per distinct key (pathological at many
     # tiny groups — the exact_dedup_first pattern, dedup.py)
-    n_buckets = 16
+    n_buckets = n_buckets_for()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from ..functions.hashing import splitmix64
@@ -748,7 +749,7 @@ def q_dedup_exact_stats(sf_dir: str):
 
     # bucket the distinct-count: per-bucket nunique (one vectorized pass per
     # shuffle bucket), then a tiny driver sum — not per-distinct-hash dispatch
-    n_buckets = 16
+    n_buckets = n_buckets_for()
 
     def add_hash(b: pa.Table) -> pa.Table:
         h = hash64_array(b["text"])
@@ -822,7 +823,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     in a distributed bucket and the pair generation is a C-level merge,
     never a Python loop."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    n_buckets = 32
+    n_buckets = n_buckets_for(floor=32)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import char_shingles
@@ -915,7 +916,7 @@ def q_dedup_bow(sf_dir: str):
     token multisets (order-insensitive exact dup detection)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    n_buckets = 16
+    n_buckets = n_buckets_for()
 
     def add_bow(b: pd.DataFrame) -> pd.DataFrame:
         bow = b["text"].fillna("").map(lambda t: " ".join(sorted(t.split(" "))))
@@ -1825,7 +1826,7 @@ def q_session_windows(sf_dir: str):
     (sort + diff + grouped cumsum) — no per-user ``map_groups`` dispatch
     (the many-tiny-groups pathology, see linker.py:36-44)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-    n_buckets = 16
+    n_buckets = n_buckets_for()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from ..functions.hashing import splitmix64

@@ -151,7 +151,12 @@ def upsert_parquet(new_rows: pa.Table, table_dir: str, key: str, n_buckets: int 
     """Merge-on-key upsert: later rows (within this call, input order) and this
     call's rows (vs existing) win. Per-bucket merges run as parallel Ray tasks
     over a bucket-id Dataset (each task touches exactly one bucket file, so
-    they never contend); sequential fallback outside a Ray session."""
+    they never contend); sequential fallback outside a Ray session.
+
+    ``n_buckets`` is a persistent table-layout parameter (every upsert against
+    a table must reuse the count it was created with — bucket files are keyed
+    by ``hash % n_buckets``), NOT a transient shuffle knob; it must not float
+    with cluster size the way runtime.n_buckets_for counts do."""
     import ray
 
     os.makedirs(table_dir, exist_ok=True)

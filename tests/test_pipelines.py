@@ -553,3 +553,71 @@ def test_species_lookup_cached_actor_form(ray_session, sf_dir):
     small = SpeciesLookupStage(cache_size=8)
     small(docs)
     assert len(small.cache) == 8
+
+
+def test_n_buckets_scales_with_cluster(ray_session):
+    """Shuffle bucket counts derive from cluster size + input rows (round-3
+    VERDICT #2): fixed constants would put 1/16 of the dataset in one reduce
+    task's memory at 100x scale."""
+    import ray as _ray
+
+    from content_crawler_ray.runtime import cluster_cpus, n_buckets_for
+
+    cpus = int(_ray.cluster_resources()["CPU"])
+    assert cluster_cpus() == cpus
+    assert n_buckets_for() == max(16, 2 * cpus)
+    assert n_buckets_for(floor=32) == max(32, 2 * cpus)
+    # row-count term dominates when the input is large for the cluster
+    assert n_buckets_for(rows=100_000_000) == max(
+        max(16, 2 * cpus), 100_000_000 // 250_000
+    )
+    # tiny inputs never drop below the floor
+    assert n_buckets_for(rows=10) >= 16
+
+
+def test_hot_lsh_buckets_are_counted_not_silent(ray_session, tmp_path):
+    """Round-3 VERDICT #4: the MAX_BUCKET hot guard must surface what it
+    drops. Plant a constant-hash blob bigger than MAX_BUCKET and assert the
+    skip counter saw it (for both the hamming engine and the minhash LSH)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines import dedup
+    from content_crawler_ray.pipelines.hamming import MAX_BUCKET, hamming_lsh_pairs
+    from content_crawler_ray.runtime import SkipCounter
+
+    n = MAX_BUCKET + 20
+    sigs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "simhash": pa.array([0x1234_5678] * n, pa.int64()),
+            }
+        )
+    )
+    ctr = SkipCounter.remote()
+    out = hamming_lsh_pairs(
+        sigs, id_col="doc_id", hash_col="simhash", max_hamming=3, skip_counter=ctr
+    ).materialize()
+    totals = _ray.get(ctr.totals.remote())
+    assert totals["skipped_buckets"] >= 4  # all 4 bands of the hot value
+    assert totals["skipped_rows"] >= 4 * n
+    assert out.count() == 0  # nothing emitted from skipped buckets
+
+    # minhash path: > dedup.MAX_BUCKET identical docs → every band bucket hot
+    m = dedup.MAX_BUCKET + 10
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(m), pa.int64()),
+            "text": pa.array(["the same boilerplate text repeated here"] * m),
+        }
+    )
+    p = str(tmp_path / "hotdocs.parquet")
+    pq.write_table(docs, p)
+    ctr2 = SkipCounter.remote()
+    pairs = dedup.minhash_verified_pairs(p, skip_counter=ctr2).materialize()
+    t2 = _ray.get(ctr2.totals.remote())
+    assert t2["skipped_buckets"] > 0 and t2["skipped_rows"] > 0
+    assert pairs.count() == 0
