@@ -102,9 +102,24 @@ def run_bench() -> dict:
     # default 2: BENCH_rN.json then reports the warmed min-of-N capability
     # number BASELINE.md measures, not a single ±30% noise draw
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    def loadavg1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
+    # co-tenant contention marker: 1-min loadavg before each timed run. This
+    # VM is shared — load far above this process's num_cpus means another
+    # tenant is stealing the cores a "4N-node" leg models as its own, which
+    # deflates the measured ratio (engine scaling is unchanged). Recorded so
+    # BASELINE.md can attribute noisy pairs objectively.
+    load_marks = []
     runs = []
     for _ in range(repeats):
         shutil.rmtree(out, ignore_errors=True)
+        load_marks.append(loadavg1())
         t0 = time.time()
         res = crawl_mod.run_crawl(corpus_path, seeds, out, cfg, corpus_ref=corpus_ref)
         runs.append(time.time() - t0)
@@ -112,15 +127,22 @@ def run_bench() -> dict:
     fetched = sum(m["granted"] for m in res["metrics"])
     dequeued = sum(m["wavefront"] for m in res["metrics"])
 
+    # per-query timings are ALSO min-of-N (round-3 VERDICT #3: single draws
+    # made two ±30%-VM-noise regressions unattributable). Same rationale as
+    # the headline: the min over warmed repeats estimates capability.
+    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     per_query: dict[str, float] = {}
     bench_queries = [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES
     for name in bench_queries:
         fn, _sql = QUERIES[name]
-        t0 = time.time()
-        out_ds = fn(sf_dir)
-        if hasattr(out_ds, "materialize"):
-            out_ds = out_ds.materialize()
-        per_query[name] = round(time.time() - t0, 3)
+        draws = []
+        for _ in range(q_repeats):
+            t0 = time.time()
+            out_ds = fn(sf_dir)
+            if hasattr(out_ds, "materialize"):
+                out_ds = out_ds.materialize()
+            draws.append(time.time() - t0)
+        per_query[name] = round(min(draws), 3)
 
     if bench_queries:
         # distributed backup sink over the bench corpus (content-addressed
@@ -130,10 +152,13 @@ def run_bench() -> dict:
         from content_crawler_ray.pipelines.backup import backup_corpus
 
         bdir = f"{bench_dir}/bench_backup_{num_cpus}"
-        shutil.rmtree(bdir, ignore_errors=True)
-        t0 = time.time()
-        backup_corpus(rd.read_parquet(corpus_path), bdir)
-        per_query["backup_corpus"] = round(time.time() - t0, 3)
+        draws = []
+        for _ in range(q_repeats):
+            shutil.rmtree(bdir, ignore_errors=True)
+            t0 = time.time()
+            backup_corpus(rd.read_parquet(corpus_path), bdir)
+            draws.append(time.time() - t0)
+        per_query["backup_corpus"] = round(min(draws), 3)
         shutil.rmtree(bdir, ignore_errors=True)
 
     shutil.rmtree(out, ignore_errors=True)
@@ -150,6 +175,7 @@ def run_bench() -> dict:
         "frontier_dequeue_per_sec": round(dequeued / headline, 1),
         "n_waves": res["n_waves"],
         "runs": [round(r, 3) for r in runs],
+        "loadavg1_at_runs": load_marks,
     }
     ray.shutdown()
     return result
@@ -196,6 +222,8 @@ def run_scaling() -> dict:
                 "urls_per_sec_lo": r_lo["urls_per_sec"],
                 "urls_per_sec_hi": r_hi["urls_per_sec"],
                 "efficiency": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
+                "loadavg_lo": r_lo.get("loadavg1_at_runs"),
+                "loadavg_hi": r_hi.get("loadavg1_at_runs"),
             }
         )
         sf = r_hi["sf"]

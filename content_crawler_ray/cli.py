@@ -44,7 +44,16 @@ def cmd_crawl(args) -> int:
     if args.conf:
         # YAML pipeline spec (R/configuration.yml analog); explicit CLI
         # flags override file values, like the reference's picocli overrides
-        cfg, _extras = load_config(args.conf)
+        cfg, extras = load_config(args.conf)
+        if extras:
+            # unknown keys INSIDE crawl: raise (strict Jackson analog), but a
+            # top-level typo (e.g. 'crawls:') would otherwise be silently
+            # ignored with defaults applied — surface it (round-3 ADVICE)
+            print(
+                "warning: unrecognized top-level config keys ignored by "
+                f"'crawl': {sorted(extras)}",
+                file=sys.stderr,
+            )
         for field in ("wave_size", "host_budget", "max_waves"):
             v = getattr(args, field)
             if v is not None:

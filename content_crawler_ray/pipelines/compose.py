@@ -22,7 +22,7 @@ from typing import Any
 
 import ray.data as rd
 
-from ..sources.tableio import begin_run, published_run, run_dir
+from ..sources.tableio import begin_run, publish_run, published_run, run_dir
 
 Sink = Callable[[rd.Dataset, str], Any]
 
@@ -44,19 +44,10 @@ def fan_out(
         sink_dir = os.path.join(rdir, name)
         os.makedirs(sink_dir, exist_ok=True)
         results[name] = sink(ds, sink_dir)  # any raise → no publish flip
-    _publish(out_dir, rid)
+    # one shared pointer writer (tableio.publish_run): same payload shape as
+    # the crawl's publish (n_waves absent here) + superseded-staging cleanup
+    publish_run(out_dir, rid)
     return results
-
-
-def _publish(out_dir: str, rid: int) -> None:
-    import json
-
-    from ..sources.tableio import PUBLISHED
-
-    tmp = os.path.join(out_dir, PUBLISHED + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"run": rid}, f)
-    os.replace(tmp, os.path.join(out_dir, PUBLISHED))
 
 
 def published_sink_dir(out_dir: str, sink_name: str) -> str | None:

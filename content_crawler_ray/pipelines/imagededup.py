@@ -15,10 +15,17 @@ _bands_of = bands_of  # back-compat aliases (tests, callers)
 
 
 def phash_neardup_pairs(
-    corpus_path: str, max_hamming: int = 6, n_buckets: int = 32
+    corpus_path: str,
+    max_hamming: int = 6,
+    n_buckets: int | None = None,
+    skip_counter=None,
 ) -> rd.Dataset:
-    """(id_a, id_b, hamming) pairs of images with phash distance ≤ threshold."""
+    """(id_a, id_b, hamming) pairs of images with phash distance ≤ threshold.
+    ``n_buckets`` defaults to the cluster-derived count (runtime.n_buckets_for
+    inside the engine); hot band buckets over MAX_BUCKET are logged/counted
+    via ``skip_counter``, never dropped silently."""
     ds = rd.read_parquet(corpus_path, columns=["image_id", "phash"])
     return hamming_lsh_pairs(
-        ds, id_col="image_id", hash_col="phash", max_hamming=max_hamming, n_buckets=n_buckets
+        ds, id_col="image_id", hash_col="phash", max_hamming=max_hamming,
+        n_buckets=n_buckets, skip_counter=skip_counter,
     )

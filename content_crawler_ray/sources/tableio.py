@@ -239,13 +239,20 @@ def begin_run(out_dir: str, resume: bool = False) -> tuple[int, str]:
     return rid, d
 
 
-def publish_run(out_dir: str, run_id: int, n_waves: int) -> None:
-    """Atomic staging→publish flip, then old-run cleanup (E:146-183)."""
+def publish_run(out_dir: str, run_id: int, n_waves: int | None = None) -> None:
+    """Atomic staging→publish flip, then old-run cleanup (E:146-183).
+    ``n_waves`` is recorded when the publisher has one (the crawl); pointer
+    READERS must treat it as optional — compose runs publish without it.
+    This is the ONLY writer of the pointer file (a second writer with a
+    divergent payload is a drift hazard — round-3 ADVICE)."""
     import shutil
 
+    payload = {"run": run_id}
+    if n_waves is not None:
+        payload["n_waves"] = n_waves
     tmp = os.path.join(out_dir, PUBLISHED + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"run": run_id, "n_waves": n_waves}, f)
+        json.dump(payload, f)
     os.replace(tmp, os.path.join(out_dir, PUBLISHED))  # the alias swap
     root = staging_root(out_dir)
     for name in os.listdir(root):

@@ -315,3 +315,61 @@ def test_wavestate_drops_stale_wave_reports(ray_session):
     )
     totals = _ray.get(st.grant_totals.remote())
     assert totals["granted"] == 4 and totals["wavefront"] == 5
+
+
+def test_hot_host_skew_bounded(ray_session, tmp_path):
+    """Round-3 VERDICT #9 (stretch): a Zipf-extreme seed set (90% of URLs on
+    ONE host) must neither break golden equality nor create a straggler fetch
+    task: per-wave grants per host are capped by host_budget, and every spool
+    part (one per fetch task batch) stays within fetch_batch_size rows — the
+    hot host's rows are spread across tasks, not fetched by one."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from content_crawler_ray import simulator
+    from content_crawler_ray.pipelines import crawl
+    from content_crawler_ray.sources import synth
+
+    n_corpus = 80
+    corpus = synth.make_corpus(n_corpus)
+    cpath = str(tmp_path / "corpus.parquet")
+    pq_.write_table(corpus, cpath)
+
+    # 90% of seeds on host 0 (synth host index 0), rest spread
+    import pyarrow as pa
+
+    rows = []
+    for r in range(300):
+        hidx = 0 if r % 10 else (r // 10) % 6
+        rows.append(
+            {
+                "url": synth.corpus_url(hidx, r % n_corpus),
+                "priority": float((r * 7) % 13),
+                "depth": 0,
+                "seed_rank": r,
+            }
+        )
+    seeds = pa.Table.from_pylist(rows)
+
+    cfg_kw = dict(wave_size=64, host_budget=4, max_waves=12)
+    golden = simulator.simulate(seeds, corpus, **cfg_kw)
+    out = str(tmp_path / "out")
+    res = crawl.run_crawl(
+        cpath, seeds, out,
+        CrawlConfig(**cfg_kw, n_seen_shards=2, n_politeness_shards=2,
+                    fetch_concurrency=2, fetch_batch_size=16, checkpoint=False),
+    )
+    f = crawl.read_fetched(out).to_pandas()
+    order = sorted(zip(f.host, f.fetch_seq, f.url_hash.astype("uint64").astype(object)))
+    assert order == [tuple(x) for x in golden["golden_order"]]
+
+    # per-(wave, host) grants never exceed host_budget — the hot host is
+    # budget-bounded each wave no matter how skewed the frontier is
+    per = f.groupby(["wave", "host"]).size()
+    assert per.max() <= cfg_kw["host_budget"]
+
+    # no straggler spool part: each part is one fetch task batch
+    parts = glob.glob(os.path.join(out, "_staging", "run_*", "wave=*", "*.parquet"))
+    assert parts
+    assert max(pq_.read_metadata(p).num_rows for p in parts) <= 16

@@ -99,6 +99,11 @@ def test_multimodal_decode_stage(ray_session):
 
 
 FAST_ORACLE_QUERIES = [
+    "q_dedup_phash_exact",
+    "q_readback_terms_by_wave",
+    "q_readback_range_exists",
+    "q_readback_nested_links",
+    "q_readback_match_bool",
     "q_t1_rename",
     "q_t2_normalize",
     "q_t3_created_at",
