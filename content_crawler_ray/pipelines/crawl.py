@@ -203,6 +203,12 @@ class _WaveState:
     def wave_hashes(self) -> bytes:
         return b"".join(self.hashes[k] for k in sorted(self.hashes))
 
+    def grant_buckets(self) -> dict[int, dict]:
+        """Per-bucket grant counters — the observable for the skew-balance
+        claim in the module docstring (hot hosts bounded by host_budget ⇒
+        granted output per bucket stays balanced under Zipf frontier skew)."""
+        return dict(self.grants)
+
     def reset(self, wave: int) -> None:
         self.wave = wave
         self.links = {}

@@ -1914,8 +1914,15 @@ QUERIES["q_skew_salted_sum"] = (q_skew_salted_sum, SQL_SKEW)
 
 
 # --------------------------------------------------------------------------
-# Sketch: HLL count-distinct — one sketch per batch, tiny merge (rows-only;
-# approximate by design, the exact twin is q_dedup_exact_stats)
+# Sketch: HLL count-distinct — one sketch per batch, tiny merge. APPROXIMATE
+# vs the true distinct count (the exact twin is q_dedup_exact_stats) but the
+# algorithm itself is DETERMINISTIC, so it gets a full DuckDB oracle that
+# replays it bit-exactly in SQL: splitmix64 via 32-bit-split HUGEINT wrap
+# multiplies, register index/rank from exact powers-of-two (a RECURSIVE pw
+# table, not float log2 — doubles round 2^52-1 up), register-max GROUP BY,
+# and the Flajolet bias-corrected estimator with the small-range branch.
+# Register-max is merge-order-invariant, so the distributed tree merge
+# matches the SQL's single global GROUP BY.
 # --------------------------------------------------------------------------
 
 def q_hll_distinct(sf_dir: str):
@@ -1962,7 +1969,42 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
-QUERIES["q_hll_distinct"] = (q_hll_distinct, None)
+SQL_HLL = """
+WITH RECURSIVE pw(i, lo) AS (
+    SELECT 1, 1::HUGEINT
+    UNION ALL
+    SELECT i + 1, lo * 2 FROM pw WHERE i < 52
+),
+keys AS (SELECT DISTINCT CAST(l_orderkey AS UBIGINT) AS k FROM lineitem),
+s1 AS (SELECT xor(k, k >> 30)::HUGEINT AS x1 FROM keys),
+m1 AS (SELECT (((x1 % 4294967296) * 13787848793156543929
+              + (((x1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+              % 18446744073709551616) AS h1 FROM s1),
+s2 AS (SELECT xor(h1::UBIGINT, h1::UBIGINT >> 27)::HUGEINT AS x2 FROM m1),
+m2 AS (SELECT (((x2 % 4294967296) * 10723151780598845931
+              + (((x2 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+              % 18446744073709551616) AS h2 FROM s2),
+fin AS (SELECT xor(h2::UBIGINT, h2::UBIGINT >> 31) AS h3 FROM m2),
+vr AS (SELECT CAST(h3 >> 52 AS BIGINT) AS idx,
+              (h3::HUGEINT % 4503599627370496) AS v
+       FROM fin),
+rk AS (SELECT idx,
+              CASE WHEN v = 0 THEN 53
+                   ELSE 53 - (SELECT MAX(i) FROM pw WHERE v >= lo) END AS rank
+       FROM vr),
+reg AS (SELECT idx, MAX(rank) AS r FROM rk GROUP BY idx),
+agg AS (SELECT SUM(POWER(2.0, -r)) AS s_present, COUNT(*) AS n_present FROM reg),
+est AS (SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               / (s_present + (4096 - n_present)) AS e,
+               (4096 - n_present) AS zeros
+        FROM agg)
+SELECT CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                       THEN 4096.0 * LN(4096.0 / zeros) ELSE e END) AS BIGINT)
+       AS distinct_orderkeys_hll
+FROM est
+"""
+
+QUERIES["q_hll_distinct"] = (q_hll_distinct, SQL_HLL)
 
 
 # --------------------------------------------------------------------------

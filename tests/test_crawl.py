@@ -373,3 +373,80 @@ def test_hot_host_skew_bounded(ray_session, tmp_path):
     parts = glob.glob(os.path.join(out, "_staging", "run_*", "wave=*", "*.parquet"))
     assert parts
     assert max(pq_.read_metadata(p).num_rows for p in parts) <= 16
+
+
+def test_hot_host_grant_bucket_balance(ray_session):
+    """The module-docstring skew claim (crawl.py:48-50), asserted on the grant
+    shuffle itself: a Zipf-extreme frontier (70% of rows on ONE host) makes
+    grant-bucket INPUT wildly skewed, but because grants are capped at
+    host_budget per host and hosts are spread hash-uniformly over buckets,
+    the granted OUTPUT — which is what the expensive fetch stage consumes —
+    stays balanced across reduce tasks (no straggler exceeds 3x the median).
+    Also: the grant is bucketing-invariant (n_buckets=8 equals n_buckets=1
+    row-for-row, fetch_seq included)."""
+    import ray as _ray
+    import ray.data as rd
+
+    from content_crawler_ray.functions.hashing import hash64_array
+    from content_crawler_ray.pipelines.crawl import (
+        GRANT_SCHEMA,
+        _collect,
+        _grant_stage,
+        _WaveState,
+    )
+    from content_crawler_ray.stages.links import FRONTIER_SCHEMA
+    from content_crawler_ray.state.politeness import Politeness
+    from content_crawler_ray.state.seen import SeenSet
+
+    n = 4000
+    hot_n = int(n * 0.7)
+    rng = np.random.default_rng(11)
+    hosts_idx = np.concatenate(
+        [np.zeros(hot_n, dtype=np.int64), rng.integers(1, 64, n - hot_n)]
+    )
+    urls = pa.array(
+        [f"http://host{k}.example.com/p/img-{i:012d}" for i, k in enumerate(hosts_idx)]
+    )
+    frontier = pa.table(
+        {
+            "url": urls,
+            "url_hash": pa.array(hash64_array(urls), pa.uint64()),
+            "host": pa.array([f"host{k}.example.com" for k in hosts_idx]),
+            "priority": pa.array(rng.random(n).astype(np.float32), pa.float32()),
+            "depth": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "seed_rank": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        }
+    ).cast(FRONTIER_SCHEMA)
+
+    def grant(n_buckets):
+        seen = SeenSet.create(2)
+        pol = Politeness.create(2)
+        state = _WaveState.remote()
+        _ray.get(state.reset.remote(0))
+        out = _collect(
+            _grant_stage(
+                rd.from_arrow(frontier), seen, pol, host_budget=4, wave_no=0,
+                state=state, n_buckets=n_buckets,
+            ),
+            GRANT_SCHEMA,
+        )
+        return out, _ray.get(state.grant_buckets.remote())
+
+    out8, buckets8 = grant(8)
+    wavefront = np.array([c["wavefront"] for c in buckets8.values()])
+    granted = np.array([c["granted"] for c in buckets8.values()])
+    # input IS skewed: the hot host's bucket dwarfs the median reduce input
+    assert wavefront.max() >= 5 * np.median(wavefront)
+    # output is NOT: granted rows per reduce task stay within 3x the median
+    assert granted.max() <= 3 * max(1.0, np.median(granted))
+
+    g8 = out8.filter(out8["granted"]).to_pandas()
+    assert (g8.groupby("host").size() <= 4).all()  # per-host budget bound
+    assert len(g8) == granted.sum()
+
+    out1, _ = grant(1)
+    g1 = out1.filter(out1["granted"]).to_pandas()
+    key = ["url_hash", "fetch_seq", "host"]
+    a = g8[key].sort_values(key).reset_index(drop=True)
+    b = g1[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # bucketing-invariant, fetch_seq too

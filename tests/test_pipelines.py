@@ -139,6 +139,7 @@ FAST_ORACLE_QUERIES = [
     "q_st4_taxa_expand",
     "q_session_windows",
     "q_skew_salted_sum",
+    "q_hll_distinct",
 ]
 
 
