@@ -804,6 +804,119 @@ WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
 """
 
 
+def q_sample_stratified(sf_dir: str):
+    """Per-stratum deterministic hash sampling — the training-data curation
+    primitive (rebalance strata, e.g. downsample the dominant language/domain)
+    as ONE streaming filter pass: no shuffle, no RNG state, reproducible at
+    any parallelism, and SQL-expressible so the oracle checks the exact row
+    set. Per-row work is the same Knuth hash as q_sample_hash plus a
+    vectorized stratum→permille threshold lookup."""
+    rates = {"A": 50, "N": 10, "R": 100}  # stratum → permille kept
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * np.uint64(2654435761) + ln) % np.uint64(1000)
+        flags = np.asarray(b["l_returnflag"].to_pylist())
+        thresh = np.zeros(len(flags), dtype=np.uint64)
+        for f, permille in rates.items():
+            thresh[flags == f] = permille
+        return b.filter(pa.array(h < thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+WHERE (l_orderkey * 2654435761 + l_linenumber) % 1000 <
+      CASE l_returnflag WHEN 'A' THEN 50 WHEN 'N' THEN 10
+                        WHEN 'R' THEN 100 ELSE 0 END
+"""
+
+
+def q_quantile_exact(sf_dir: str):
+    """EXACT distributed quantiles (p50/p95 of l_extendedprice in cents)
+    without a global sort: the classic two-pass order-statistic select.
+
+    Pass 1 streams a fixed-width value histogram (``v // W`` buckets) as
+    per-batch partials combined by the bucketed tiny groupby — O(range/W)
+    rows cross the wire, never values. The driver cumsums the histogram
+    (small), converts each quantile to DuckDB's ``quantile_disc`` order
+    statistic ``k = max(0, ceil(q·n) - 1)`` and locates its bucket + offset.
+    Pass 2 re-reads ONLY the value column, filters to the (few) needed
+    buckets — ~n/n_buckets rows, the only values ever materialized — and
+    takes the exact in-bucket order statistic with np.partition. At 100 TB
+    both passes stream; the driver holds the histogram and one bucket.
+    """
+    qs = [(50, 0.5), (95, 0.95)]
+    W = 1024  # bucket width (cents)
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        u, c = np.unique(v // W, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    hdf = (
+        combine_partials(
+            ds.map_batches(hist, batch_format="pyarrow"), ["bucket"], {"n": "sum"}
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    total = int(hdf["n"].sum())
+    cum = hdf["n"].cumsum().to_numpy()
+    need: dict[int, list[tuple[int, int]]] = {}
+    for pct, q in qs:
+        k = max(0, int(np.ceil(q * total)) - 1)
+        bi = int(np.searchsorted(cum, k + 1))  # first bucket with cum > k
+        before = int(cum[bi - 1]) if bi else 0
+        need.setdefault(int(hdf["bucket"].iloc[bi]), []).append((pct, k - before))
+    need_buckets = np.array(sorted(need), dtype=np.int64)
+
+    def in_need(b: pa.Table) -> pa.Table:
+        v = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        keep = np.isin(v // W, need_buckets)
+        return pa.table({"cents": pa.array(v[keep], pa.int64())})
+
+    vals = (
+        ds.map_batches(in_need, batch_format="pyarrow")
+        .materialize()
+        .to_pandas()["cents"]
+        .to_numpy()
+    )  # bounded: only the target buckets' values (~n/n_buckets rows)
+    rows = []
+    for bucket, wants in need.items():
+        bv = vals[vals // W == bucket]
+        for pct, off in wants:
+            rows.append((pct, int(np.partition(bv, off)[off])))
+    rows.sort()
+    return pa.table(
+        {
+            "q_pct": pa.array([r[0] for r in rows], pa.int64()),
+            "cents": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_QUANTILE_EXACT = """
+SELECT q_pct, cents FROM (
+  SELECT 50 AS q_pct,
+         quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50) AS cents
+  FROM lineitem
+  UNION ALL
+  SELECT 95,
+         quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)
+  FROM lineitem
+) ORDER BY q_pct
+"""
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     """n-gram Jaccard near-dup, scale-shaped: NO all-pairs loop anywhere.
 
@@ -1435,6 +1548,8 @@ QUERIES: dict[str, tuple] = {
     "q_dedup_bow": (q_dedup_bow, SQL_DEDUP_BOW),
     "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "q_sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "q_quantile_exact": (q_quantile_exact, SQL_QUANTILE_EXACT),
     "q_dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "q_dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "q_dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),

@@ -128,6 +128,8 @@ FAST_ORACLE_QUERIES = [
     "q_dedup_bow",
     "q_dedup_ngram_jaccard",
     "q_sample_hash",
+    "q_sample_stratified",
+    "q_quantile_exact",
     "q_window_daily",
     "q_j5_vocab_collapse",
     "q_j6_hash_join",
