@@ -27,7 +27,7 @@ import ray.data as rd
 from ..functions import text as T
 from .agg import combine_partials
 from ..functions.dates import created_at
-from ..functions.hashing import hash64_array
+from ..functions.hashing import hash64_array, splitmix64
 from ..runtime import n_buckets_for
 from ..functions.tags import parse_tags
 
@@ -2424,3 +2424,212 @@ WHERE status = 200 AND caption LIKE '%glacier%' AND w >= 32
 """
 
 QUERIES["q_readback_match_bool"] = (q_readback_match_bool, SQL_READBACK_MATCH_BOOL)
+
+
+# --------------------------------------------------------------------------
+# Temporal as-of join (point-in-time-correct feature attachment) — the
+# order-aware join Ray Data lacks, composed as one hash shuffle + a
+# vectorized sort-merge per bucket (pipelines/asof.py).
+# --------------------------------------------------------------------------
+
+def q_asof_join(sf_dir: str):
+    """For each event, the latest order by the same customer at or before
+    the event time plus the count of prior orders — no future leakage."""
+    from .asof import asof_join
+
+    return asof_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        left_key="user_id",
+        left_time="ts",
+        right_key="o_custkey",
+        right_time="o_orderdate",
+        carry={"event_id": pa.int64()},
+    )
+
+
+SQL_ASOF = """
+SELECT e.event_id,
+       CAST(epoch_us(max(o.o_orderdate)) AS BIGINT) AS asof_us,
+       CAST(count(*) AS BIGINT) AS n_prior
+FROM events e JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY e.event_id
+"""
+
+QUERIES["q_asof_join"] = (q_asof_join, SQL_ASOF)
+
+
+# --------------------------------------------------------------------------
+# Per-group top-k — the heap-partial pattern: each batch keeps only its own
+# top-k per key (bounds shuffled rows at k per key per block), the bucketed
+# combine re-takes top-k per key and ranks. Deterministic tie-break
+# (cents DESC, o_orderkey ASC) so the oracle row set is exact.
+# --------------------------------------------------------------------------
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 orders per customer by price (curation: keep the best k
+    examples per source/domain)."""
+    k = 2
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(
+            ["o_custkey", "cents", "o_orderkey"], ascending=[True, False, True]
+        )
+        return df.groupby("o_custkey").head(k)
+
+    n_buckets = n_buckets_for()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        kk = df["o_custkey"].to_numpy().astype(np.int64)
+        df = df.copy()
+        df["_b"] = (splitmix64(kk.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "cents", "o_orderkey"], ascending=[True, False, True]
+        )
+        g = g.groupby("o_custkey").head(k).copy()
+        g["rnk"] = g.groupby("o_custkey").cumcount() + 1
+        return g[["o_custkey", "o_orderkey", "cents", "rnk"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, cents, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+QUERIES["q_topk_per_group"] = (q_topk_per_group, SQL_TOPK_PER_GROUP)
+
+
+# --------------------------------------------------------------------------
+# Global term top-k (corpus vocabulary head) — flat_map tokenize as a
+# vectorized Arrow split + per-batch value_counts partial, combined by the
+# bucketed tiny groupby; only (token, count) partials ever shuffle.
+# --------------------------------------------------------------------------
+
+def q_terms_topk(sf_dir: str):
+    """Top-50 corpus terms by document-token frequency (vocabulary head —
+    the input to stopword lists and BPE seeding)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tok, n = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"token": pa.array(tok, pa.string()), "n": pa.array(n, pa.int64())}
+        )
+
+    return (
+        combine_partials(
+            ds.map_batches(partial, batch_format="pyarrow"), ["token"], {"n": "sum"}
+        )
+        .sort(["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
+SQL_TERMS_TOPK = """
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+QUERIES["q_terms_topk"] = (q_terms_topk, SQL_TERMS_TOPK)
+
+
+# --------------------------------------------------------------------------
+# J7 — bucketed anti-join (NOT EXISTS): both sides hash-shuffled on the key,
+# one vectorized isin per bucket. The complement of q_j2's broadcast
+# semi-join for when the right side is too big to broadcast.
+# --------------------------------------------------------------------------
+
+def q_j7_anti_join(sf_dir: str):
+    """Customers with no URGENT-priority order."""
+    left = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table(
+            {"k": b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    n_buckets = n_buckets_for()
+    schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()), ("_side", pa.int8()), ("_b", pa.int64())]
+    )
+
+    def tag(side: int, key: str, name: str | None):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            kk = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(kk, pa.int64()),
+                    pc.cast(b[name], pa.string()) if name else pa.nulls(n, pa.string()),
+                    pa.array(np.full(n, side, dtype=np.int8), pa.int8()),
+                    pa.array(
+                        (splitmix64(kk.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                        pa.int64(),
+                    ),
+                ],
+                schema=schema,
+            )
+
+        return fn
+
+    tagged = left.map_batches(tag(0, "c_custkey", "c_name"), batch_format="pyarrow").union(
+        right.map_batches(tag(1, "k", None), batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        lt = g[g["_side"] == 0]
+        have = g.loc[g["_side"] == 1, "c_custkey"].to_numpy()
+        out = lt[~lt["c_custkey"].isin(have)]
+        # typed Arrow out — an empty object-dtype pandas block trips ray
+        # 2.49's block size estimator (np.vectorize on size-0 input)
+        return pa.table(
+            {
+                "c_custkey": pa.array(out["c_custkey"].to_numpy(), pa.int64()),
+                "c_name": pa.array(out["c_name"], pa.string()),
+            }
+        )
+
+    return tagged.groupby("_b").map_groups(anti, batch_format="pandas")
+
+
+SQL_J7_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+QUERIES["q_j7_anti_join"] = (q_j7_anti_join, SQL_J7_ANTI)

@@ -130,6 +130,10 @@ FAST_ORACLE_QUERIES = [
     "q_sample_hash",
     "q_sample_stratified",
     "q_quantile_exact",
+    "q_asof_join",
+    "q_topk_per_group",
+    "q_terms_topk",
+    "q_j7_anti_join",
     "q_window_daily",
     "q_j5_vocab_collapse",
     "q_j6_hash_join",
