@@ -2633,3 +2633,205 @@ WHERE NOT EXISTS (
 """
 
 QUERIES["q_j7_anti_join"] = (q_j7_anti_join, SQL_J7_ANTI)
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join — broadcast small-side bands, per-batch binary
+# search; the non-equi join shape Ray Data lacks, done with ZERO shuffle
+# (the band table is a constant/broadcast, rows never move).
+# --------------------------------------------------------------------------
+
+_PRICE_BANDS = (  # (band_id, lo_cents incl, hi_cents excl) — gaps are real
+    (1, 100_000, 200_000),
+    (2, 250_000, 400_000),
+    (3, 500_000, 900_000),
+    (4, 1_000_000, 5_000_000),
+)
+
+
+def q_range_join(sf_dir: str):
+    """Tag each lineitem with its (non-contiguous) price band; rows in no
+    band drop — interval containment via one vectorized searchsorted per
+    batch against the broadcast band edges."""
+    band_id = np.array([b[0] for b in _PRICE_BANDS], dtype=np.int64)
+    lo = np.array([b[1] for b in _PRICE_BANDS], dtype=np.int64)
+    hi = np.array([b[2] for b in _PRICE_BANDS], dtype=np.int64)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        v = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.clip(idx, 0, len(hi) - 1)])
+        t = b.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "band_id": pa.array(band_id[idx[ok]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+WITH bands(band_id, lo, hi) AS (VALUES
+  (1, 100000, 200000), (2, 250000, 400000),
+  (3, 500000, 900000), (4, 1000000, 5000000))
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(b.band_id AS BIGINT) AS band_id
+FROM lineitem l JOIN bands b
+  ON CAST(round(l.l_extendedprice * 100) AS BIGINT) >= b.lo
+ AND CAST(round(l.l_extendedprice * 100) AS BIGINT) <  b.hi
+"""
+
+QUERIES["q_range_join"] = (q_range_join, SQL_RANGE_JOIN)
+
+
+# --------------------------------------------------------------------------
+# Per-key ordered rolling window — the streaming feature primitive
+# ("spend over the last k orders"). One hash shuffle on the key, then a
+# vectorized per-bucket sort + grouped cumsum-difference (no per-key loop,
+# no pandas rolling object). Deterministic order: (date, orderkey) unique.
+# --------------------------------------------------------------------------
+
+def q_rolling_window(sf_dir: str):
+    """Rolling sum of each customer's last 4 order totals (cents), ordered
+    by (o_orderdate, o_orderkey)."""
+    W = 4
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    n_buckets = n_buckets_for()
+
+    def prep(b: pa.Table) -> pa.Table:
+        kk = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "_t": pc.cast(b["o_orderdate"], pa.int64()),
+                "cents": pa.array(
+                    _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "_b": pa.array(
+                    (splitmix64(kk.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "_t", "o_orderkey"], kind="mergesort", ignore_index=True)
+        # rolling(W) sum = cumsum - cumsum shifted by W within the key
+        cum = g.groupby("o_custkey")["cents"].cumsum()
+        shifted = cum.groupby(g["o_custkey"]).shift(W).fillna(0)
+        out = pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"], "roll_cents": (cum - shifted).astype(np.int64)}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow").groupby("_b").map_groups(
+            roll, batch_format="pandas"
+        )
+    )
+
+
+SQL_ROLLING_WINDOW = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+FROM orders
+"""
+
+QUERIES["q_rolling_window"] = (q_rolling_window, SQL_ROLLING_WINDOW)
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregate) — one column per event type, counts
+# per user: per-batch crosstab partials reindexed to the fixed column set,
+# then the bucketed combine sums columns.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Per-user event-type count matrix (long→wide pivot)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0).astype(np.int64)
+        ct.columns = cols
+        return ct.rename_axis("user_id").reset_index()
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {c: "sum" for c in cols},
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+QUERIES["q_pivot_events"] = (q_pivot_events, SQL_PIVOT_EVENTS)
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids — vector-column aggregation (the class-mean
+# / cluster-seed primitive). Elements are quantized to integer micro-units
+# BEFORE summing (floor(x·1e6 + 0.5), identical scalar op in both engines)
+# so the distributed sum is order-independent and the oracle is EXACT —
+# float centroid = sum_e6 / n / 1e6 at the consumer.
+# --------------------------------------------------------------------------
+
+def q_embed_centroids(sf_dir: str):
+    """Integer-exact per-(label, dim) sums + counts over the 64-d embedding
+    column; per-batch partial is one reshape + one grouped matrix sum."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    dim = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        v = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        q = np.floor(v.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
+        sums = np.zeros((len(ul), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1), len(ul)), pa.int64()),
+                "sum_e6": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnt.astype(np.int64), dim), pa.int64()),
+            }
+        )
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"sum_e6": "sum", "n": "sum"},
+    )
+
+
+SQL_EMBED_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, i AS dim,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY 1, 2
+"""
+
+QUERIES["q_embed_centroids"] = (q_embed_centroids, SQL_EMBED_CENTROIDS)

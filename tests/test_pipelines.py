@@ -134,6 +134,10 @@ FAST_ORACLE_QUERIES = [
     "q_topk_per_group",
     "q_terms_topk",
     "q_j7_anti_join",
+    "q_range_join",
+    "q_rolling_window",
+    "q_pivot_events",
+    "q_embed_centroids",
     "q_window_daily",
     "q_j5_vocab_collapse",
     "q_j6_hash_join",
