@@ -2835,3 +2835,413 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_embed_centroids"] = (q_embed_centroids, SQL_EMBED_CENTROIDS)
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering — near-dup PAIRS → duplicate CLUSTERS via distributed
+# connected components (pipelines/cc.py), over the union of two independent
+# near-dup signals (n-gram Jaccard + SimHash) — the multi-signal dedup
+# pattern: chains across signals collapse into one cluster so a single
+# canonical representative survives.
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(sf_dir: str):
+    """(node, component) for every doc in >=1 near-dup pair; component =
+    smallest reachable doc_id (deterministic canonical representative)."""
+    from .cc import connected_components
+    from .dedup import simhash_neardup_pairs
+
+    ngram = q_dedup_ngram_jaccard(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"a": pc.cast(b["doc_a"], pa.int64()), "b": pc.cast(b["doc_b"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    sim = simhash_neardup_pairs(_p(sf_dir, "documents"), max_hamming=3).map_batches(
+        lambda b: pa.table(
+            {"a": pc.cast(b["id_a"], pa.int64()), "b": pc.cast(b["id_b"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(ngram.union(sim))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pn AS ({SQL_NGRAM_JACCARD}),
+ps AS ({SQL_SIMHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pn UNION SELECT doc_b, doc_a FROM pn
+  UNION SELECT id_a, id_b FROM ps UNION SELECT id_b, id_a FROM ps),
+reach(x, y) AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+)
+SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x
+"""
+
+QUERIES["q_dedup_clusters"] = (q_dedup_clusters, SQL_DEDUP_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+# Dedup survivors — the end-to-end dedup product: pairs → clusters →
+# SURVIVING corpus. Keeps every document that is either in no near-dup
+# cluster or is its cluster's canonical representative (smallest doc_id).
+# One bucketed hash shuffle joins the (small) component table to the (huge)
+# corpus — the corpus never broadcasts and never sorts.
+# --------------------------------------------------------------------------
+
+def q_dedup_survivors(sf_dir: str):
+    """(doc_id, component) for every surviving document; component ==
+    doc_id for singletons and for cluster representatives (all survivors)."""
+    comps = q_dedup_clusters(sf_dir)  # (node, component), node ∈ some pair
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_buckets = n_buckets_for()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("component", pa.int64()), ("_side", pa.int8()), ("_b", pa.int64())]
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(k, pa.int64()),
+                pa.nulls(len(k), pa.int64()),
+                pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+                pa.array((splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    def tag_comps(b: pa.Table) -> pa.Table:
+        k = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(k, pa.int64()),
+                b["component"],
+                pa.array(np.ones(len(k), dtype=np.int8), pa.int8()),
+                pa.array((splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    def survivors(g: pd.DataFrame) -> pa.Table:
+        d = g[g["_side"] == 0][["doc_id"]]
+        c = g[g["_side"] == 1][["doc_id", "component"]]
+        m = d.merge(c, on="doc_id", how="left")
+        comp = m["component"].fillna(m["doc_id"]).to_numpy().astype(np.int64)
+        keep = comp == m["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy()[keep], pa.int64()),
+                "component": pa.array(comp[keep], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(tag_docs, batch_format="pyarrow")
+        .union(comps.map_batches(tag_comps, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(survivors, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE
+pn AS ({SQL_NGRAM_JACCARD}),
+ps AS ({SQL_SIMHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pn UNION SELECT doc_b, doc_a FROM pn
+  UNION SELECT id_a, id_b FROM ps UNION SELECT id_b, id_a FROM ps),
+reach(x, y) AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+WHERE c.node IS NULL OR c.component = d.doc_id
+"""
+
+QUERIES["q_dedup_survivors"] = (q_dedup_survivors, SQL_DEDUP_SURVIVORS)
+
+
+# --------------------------------------------------------------------------
+# J8: left OUTER equi-join with aggregate + zero fill — "every customer with
+# their order count/total, keeping order-less customers". The aggregate side
+# shrinks to one partial row per key inside map_batches BEFORE any shuffle;
+# then one bucketed hash exchange co-locates customers with their row.
+# --------------------------------------------------------------------------
+
+def q_j8_left_outer(sf_dir: str):
+    """Per-customer order count + total cents, 0-filled for customers with
+    no orders (left outer join, aggregate pushed below the shuffle)."""
+    n_buckets = n_buckets_for()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        ul, inv, cnt = np.unique(k, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ul, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+                "sum_cents": pa.array(sums, pa.int64()),
+                "_side": pa.array(np.ones(len(ul), dtype=np.int8), pa.int8()),
+                "_b": pa.array((splitmix64(ul.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k, pa.int64()),
+                "n_orders": pa.array(z, pa.int64()),
+                "sum_cents": pa.array(z, pa.int64()),
+                "_side": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+                "_b": pa.array((splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def left_merge(g: pd.DataFrame) -> pa.Table:
+        keys = g.loc[g["_side"] == 0, "c_custkey"]
+        agg = g[g["_side"] == 1].groupby("c_custkey", as_index=False)[["n_orders", "sum_cents"]].sum()
+        m = keys.to_frame().merge(agg, on="c_custkey", how="left").fillna(0)
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["c_custkey"].to_numpy(), pa.int64()),
+                "n_orders": pa.array(m["n_orders"].to_numpy().astype(np.int64), pa.int64()),
+                "sum_cents": pa.array(m["sum_cents"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(partial, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(left_merge, batch_format="pandas")
+    )
+
+
+SQL_J8_LEFT_OUTER = """
+SELECT c.c_custkey,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.s, 0) AS BIGINT) AS sum_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1
+) o ON o.o_custkey = c.c_custkey
+"""
+
+QUERIES["q_j8_left_outer"] = (q_j8_left_outer, SQL_J8_LEFT_OUTER)
+
+
+# --------------------------------------------------------------------------
+# Inverted index — term → sorted posting list of doc_ids + df. doc_id is
+# unique per row, so per-batch per-doc distinct tokens ARE globally-distinct
+# (token, doc) pairs; one hash shuffle on the token assembles each posting
+# list in one reduce. Partitioning assumption: one term's postings fit a
+# task — guaranteed here by the IR-standard stopword ceiling (df ≤ 90% of
+# the corpus; heads above it belong in a stop list, not the index — the
+# synthetic corpus's templated vocabulary is ~31 terms, all mid-df).
+# --------------------------------------------------------------------------
+
+def q_inverted_index(sf_dir: str):
+    """Posting lists for terms with 2 <= df <= floor(0.9 * n_docs)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    df_hi = int(np.floor(0.9 * n_docs))
+    n_buckets = n_buckets_for()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        keep = flat != ""
+        flat, doc = flat[keep], doc[keep]
+        # distinct (token, doc) within the batch == globally distinct
+        # distinct (token, doc) within the batch == globally distinct,
+        # because each doc_id lives in exactly one row (hence one batch)
+        key = np.char.add(np.char.add(doc.astype("U20"), "\x00"), flat.astype("U"))
+        _, first = np.unique(key, return_index=True)
+        tok = flat[first]
+        d = doc[first]
+        toka = pa.array(tok, pa.string())
+        h = hash64_array(toka)  # deterministic FNV — stable ACROSS workers
+        return pa.table(
+            {
+                "term": toka,
+                "doc_id": pa.array(d, pa.int64()),
+                "_b": pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["term", "doc_id"])
+        grp = g.groupby("term", sort=True)
+        df = grp.size()
+        keep = df[(df >= 2) & (df <= df_hi)]
+        if keep.empty:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        sel = g[g["term"].isin(keep.index)]
+        lists = sel.groupby("term", sort=True)["doc_id"].apply(list)
+        return pa.table(
+            {
+                "term": pa.array(lists.index.to_numpy(), pa.string()),
+                "df": pa.array(keep.loc[lists.index].to_numpy().astype(np.int64), pa.int64()),
+                "postings": pa.array(lists.to_list(), pa.list_(pa.int64())),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = """
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+)
+GROUP BY term
+HAVING count(*) >= 2
+   AND count(*) <= CAST(floor(0.9 * (SELECT count(*) FROM documents)) AS BIGINT)
+"""
+
+QUERIES["q_inverted_index"] = (q_inverted_index, SQL_INVERTED_INDEX)
+
+
+# --------------------------------------------------------------------------
+# Exact per-group COUNT DISTINCT at scale — dedupe (group, value) pairs on a
+# hash((group, value)) shuffle so no single group's values must fit one
+# task, then per-bucket counts per group combine through the tiny partial
+# groupby. Exact twin to the approximate q_hll_distinct.
+# --------------------------------------------------------------------------
+
+def q_group_distinct(sf_dir: str):
+    """Exact distinct users per event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_buckets = n_buckets_for()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype("U"), "\x00"), u.astype("U20"))
+        _, first = np.unique(key, return_index=True)  # batch-local dedupe
+        et, u = et[first], u[first]
+        h = splitmix64(u.view(np.uint64)) ^ hash64_array(pa.array(et, pa.string()))
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "user_id": pa.array(u, pa.int64()),
+                "_b": pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        # global dedupe within the bucket (all copies of a pair hash here),
+        # then a per-type partial count
+        out = g.drop_duplicates(["event_type", "user_id"]).groupby(
+            "event_type", as_index=False
+        ).size()
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_users": pa.array(out["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(count_bucket, batch_format="pandas")
+    )
+    return combine_partials(partials, ["event_type"], {"n_users": "sum"})
+
+
+SQL_GROUP_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+QUERIES["q_group_distinct"] = (q_group_distinct, SQL_GROUP_DISTINCT)
+
+
+# --------------------------------------------------------------------------
+# Exact per-group median — one hash shuffle on the group key, one vectorized
+# sorted-cumsum median per bucket (no per-group Python loop). Doubled to
+# stay integer-exact on even counts (median of ints is a half-integer).
+# Complements the global two-pass quantiles (q_quantiles) with the
+# many-groups shape. Assumption: one group's values fit a reduce task.
+# --------------------------------------------------------------------------
+
+def q_group_median(sf_dir: str):
+    """2× median of customer account balance (cents) per nation."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    n_buckets = n_buckets_for()
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "nationkey": pa.array(k, pa.int64()),
+                "cents": _cents(b["c_acctbal"]),
+                "_b": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def med(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["nationkey", "cents"], kind="mergesort").reset_index(drop=True)
+        keys = g["nationkey"].to_numpy()
+        vals = g["cents"].to_numpy()
+        ul, start, cnt = np.unique(keys, return_index=True, return_counts=True)
+        lo = vals[start + (cnt - 1) // 2]
+        hi = vals[start + cnt // 2]
+        return pa.table(
+            {
+                "nationkey": pa.array(ul, pa.int64()),
+                "med2_cents": pa.array(lo + hi, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
+SQL_GROUP_MEDIAN = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(round(2 * median(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
+         AS med2_cents
+FROM customer GROUP BY 1
+"""
+
+QUERIES["q_group_median"] = (q_group_median, SQL_GROUP_MEDIAN)

@@ -637,3 +637,154 @@ def test_hot_lsh_buckets_are_counted_not_silent(ray_session, tmp_path):
     t2 = _ray.get(ctr2.totals.remote())
     assert t2["skipped_buckets"] > 0 and t2["skipped_rows"] > 0
     assert pairs.count() == 0
+
+
+def test_asof_join_tie_and_no_match(ray_session):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.asof import asof_join
+
+    def ts(us_list):
+        return pa.array(us_list, pa.timestamp("us"))
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "t": ts([10, 5, 3]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "t": ts([10, 2]),
+    }))
+    out = asof_join(
+        left, right, left_key="user_id", left_time="t",
+        right_key="k", right_time="t", carry={"event_id": pa.int64()},
+        n_buckets=3,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 1 (t=10): right row AT t=10 counts (<= semantics) and is the match
+    # event 2 (t=5): only the t=2 right row precedes it
+    # event 3 (user 2): no right rows -> dropped (inner)
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["asof_us"].tolist() == [10, 2]
+    assert out["n_prior"].tolist() == [2, 1]
+
+
+def test_connected_components_chain_multi_round(ray_session):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.cc import connected_components
+
+    # one 9-node path (forces multiple propagation rounds: min label walks
+    # one hop per round past the seeded neighbourhood), one 2-clique, and a
+    # triangle reached through its largest id
+    edges = [(i, i + 1) for i in range(8)] + [(100, 101)] + [(50, 51), (51, 52), (50, 52)]
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    out = connected_components(ds, n_buckets=3).to_pandas()
+    comp = dict(zip(out["node"], out["component"]))
+    assert all(comp[i] == 0 for i in range(9))
+    assert comp[100] == 100 and comp[101] == 100
+    assert comp[50] == comp[51] == comp[52] == 50
+    assert len(comp) == 9 + 2 + 3
+
+
+def test_left_outer_join_zero_fills(ray_session, tmp_path):
+    import duckdb
+
+    from content_crawler_ray.pipelines.queries import q_j8_left_outer
+
+    sf = "/root/testdata/sf0.001"
+    out = q_j8_left_outer(sf).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    con = duckdb.connect()
+    n_cust, n_with = con.execute(
+        f"""SELECT (SELECT count(*) FROM read_parquet('{sf}/customer.parquet')),
+                   count(DISTINCT o_custkey) FROM read_parquet('{sf}/orders.parquet')"""
+    ).fetchone()
+    assert len(out) == n_cust  # every customer survives the left join
+    assert (out["n_orders"] == 0).sum() == n_cust - n_with
+    zero = out[out["n_orders"] == 0]
+    assert (zero["sum_cents"] == 0).all()
+
+
+def test_group_distinct_dedupes_across_batches(ray_session):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines import queries as Q
+
+    # same (type, user) pair planted in many tiny blocks — exact distinct
+    # must collapse duplicates that never share a batch
+    tables = [
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "b"], pa.string()),
+                "user_id": pa.array([7, 8, 7], pa.int64()),
+            }
+        )
+        for _ in range(10)
+    ]
+    ds = rd.from_arrow(tables)
+    orig = Q._read
+    try:
+        Q._read = lambda sf, table, columns=None: ds
+        out = Q.q_group_distinct("ignored").to_pandas()
+    finally:
+        Q._read = orig
+    got = dict(zip(out["event_type"], out["n_users"]))
+    assert got == {"a": 2, "b": 1}
+
+
+def test_inverted_index_df_bounds_and_sorted_postings(ray_session):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines import queries as Q
+
+    # 10 docs; "common" in all 10 (> 0.9*10 = 9 -> stopword, dropped),
+    # "pair" in 2 (kept), "solo" in 1 (< 2 -> dropped); repeated token in
+    # one doc must not double-count df or the posting list
+    texts = ["common pair extra extra" if i in (3, 8) else "common solo" if i == 5 else "common filler%d" % i for i in range(10)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    orig = Q._read
+    try:
+        Q._read = lambda sf, table, columns=None: ds
+        out = Q.q_inverted_index("ignored").to_pandas()
+    finally:
+        Q._read = orig
+    idx = {r["term"]: (r["df"], list(r["postings"])) for _, r in out.iterrows()}
+    assert "common" not in idx and "solo" not in idx
+    assert idx["pair"] == (2, [3, 8])
+    assert idx["extra"] == (2, [3, 8])  # within-doc repeat counted once
+
+
+def test_dedup_survivors_keeps_representatives(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines import queries as Q
+
+    # planted component table: cluster {2,5,9} (rep 2), singleton pair
+    # cluster {7,11} (rep 7); docs 1..12 -> survivors = all docs minus
+    # {5, 9, 11}, component = self except reps keep their own id
+    comps = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([2, 5, 9, 7, 11], pa.int64()),
+                "component": pa.array([2, 2, 2, 7, 7], pa.int64()),
+            }
+        )
+    )
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(1, 13)), pa.int64())})
+    )
+    monkeypatch.setattr(Q, "q_dedup_clusters", lambda sf: comps)
+    monkeypatch.setattr(Q, "_read", lambda sf, table, columns=None: docs)
+    out = Q.q_dedup_survivors("ignored").to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 6, 7, 8, 10, 12]
+    assert (out["component"] == out["doc_id"]).all()
