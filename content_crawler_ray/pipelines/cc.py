@@ -36,10 +36,14 @@ Partitioning assumption: all rows of one hash bucket fit a reduce task
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+logger = logging.getLogger(__name__)
 
 from ..functions.hashing import splitmix64
 from ..runtime import n_buckets_for
@@ -158,7 +162,9 @@ def connected_components(
             }
         )
 
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         msgs = (
             edges.map_batches(edge_as_joinrow, batch_format="pyarrow")
             .union(labels.map_batches(label_as_joinrow, batch_format="pyarrow"))
@@ -189,6 +195,14 @@ def connected_components(
         ).materialize()
         if not n_changed:
             break
+    else:
+        logger.warning(
+            "connected_components hit max_rounds=%d before convergence "
+            "(last round changed %d labels) — results may be partial",
+            max_rounds,
+            n_changed,
+        )
+    logger.info("connected_components converged in %d rounds", rounds)
 
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),

@@ -3070,7 +3070,6 @@ def q_inverted_index(sf_dir: str):
         doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens)
         keep = flat != ""
         flat, doc = flat[keep], doc[keep]
-        # distinct (token, doc) within the batch == globally distinct
         # distinct (token, doc) within the batch == globally distinct,
         # because each doc_id lives in exactly one row (hence one batch)
         key = np.char.add(np.char.add(doc.astype("U20"), "\x00"), flat.astype("U"))
@@ -3245,3 +3244,42 @@ FROM customer GROUP BY 1
 """
 
 QUERIES["q_group_median"] = (q_group_median, SQL_GROUP_MEDIAN)
+
+
+# --------------------------------------------------------------------------
+# Image near-dup clusters — the image-axis dedup product: exact phash pairs
+# (hamming<=3, pigeonhole-exact LSH) → duplicate clusters through the same
+# distributed connected-components engine as the text path. Pinned to the
+# sf0.01-tier corpus on both sides like its pair twin (static oracle SQL).
+# --------------------------------------------------------------------------
+
+def q_phash_clusters(sf_dir: str):
+    """(node, component) per image in >=1 exact phash near-dup pair; node =
+    the integer suffix of the image_id ('img-%012d' — CC labels are int64)."""
+    from .cc import connected_components
+
+    def to_int(col: pa.ChunkedArray) -> pa.Array:
+        return pc.cast(pc.utf8_slice_codeunits(col, 4, 16), pa.int64())
+
+    pairs = q_dedup_phash_exact(sf_dir).map_batches(
+        lambda b: pa.table({"a": to_int(b["id_a"]), "b": to_int(b["id_b"])}),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs)
+
+
+SQL_PHASH_CLUSTERS = f"""
+WITH RECURSIVE
+pp AS ({SQL_PHASH_EXACT}),
+ppi AS (SELECT CAST(substr(id_a, 5) AS BIGINT) AS id_a,
+               CAST(substr(id_b, 5) AS BIGINT) AS id_b FROM pp),
+edges AS (SELECT id_a AS a, id_b AS b FROM ppi UNION SELECT id_b, id_a FROM ppi),
+reach(x, y) AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+)
+SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x
+"""
+
+QUERIES["q_phash_clusters"] = (q_phash_clusters, SQL_PHASH_CLUSTERS)
