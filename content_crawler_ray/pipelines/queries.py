@@ -3283,3 +3283,97 @@ SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x
 """
 
 QUERIES["q_phash_clusters"] = (q_phash_clusters, SQL_PHASH_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+# Distributed ordered prefix sum (running total) — the range-partitioned
+# two-pass scan in pipelines/scan.py. New operator class for this engine:
+# a global-order window over all rows, no reference analogue (the Rx
+# pipeline is per-page), SQL twin is the canonical SUM() OVER (ORDER BY).
+# --------------------------------------------------------------------------
+
+def q_running_total(sf_dir: str):
+    """Running total of order value (cents) in o_orderkey order."""
+    from .scan import prefix_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "cents": _cents(b["o_totalprice"])}
+        )
+
+    return prefix_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="o_orderkey",
+        val_col="cents",
+        out_col="running_cents",
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (ORDER BY o_orderkey) AS running_cents
+FROM orders
+"""
+
+QUERIES["q_running_total"] = (q_running_total, SQL_RUNNING_TOTAL)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — assign documents, in deterministic doc_id order, to
+# fixed token-budget bins (the contiguous-concat packing used when building
+# fixed-length training sequences from variable-length documents). Rides
+# the same distributed prefix-sum: bin = exclusive_running_tokens // budget.
+# Documents straddle bin boundaries by design (concat-then-split packing).
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+def q_pack_sequences(sf_dir: str):
+    """(doc_id, n_tokens, bin) — token-budget packing in doc_id order."""
+    from .scan import prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": T.token_counts(b["text"])})
+
+    run = prefix_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="doc_id",
+        val_col="n_tokens",
+        out_col="_run",
+    )
+
+    def binify(b: pa.Table) -> pa.Table:
+        run = b["_run"].to_numpy(zero_copy_only=False)
+        tok = b["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": b["n_tokens"],
+                "bin": pa.array((run - tok) // _PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    return run.map_batches(binify, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS run FROM t
+)
+SELECT doc_id, n_tokens, (run - n_tokens) // {_PACK_BUDGET} AS bin FROM c
+"""
+
+QUERIES["q_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
