@@ -3377,3 +3377,243 @@ SELECT doc_id, n_tokens, (run - n_tokens) // {_PACK_BUDGET} AS bin FROM c
 """
 
 QUERIES["q_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — the quality/relevance scoring primitive a
+# training-data pipeline runs before corpus filtering. One term-bucketed
+# shuffle computes df AND joins idf back to the (doc,term) rows in the same
+# map_groups (all copies of a term land in one bucket), then one doc-bucketed
+# shuffle ranks per-doc top-3. Scores are integer-exact: tf ×
+# floor(1e6·ln(N/df)) — floor (not round) because DuckDB rounds half away
+# from zero while numpy rounds half to even.
+# --------------------------------------------------------------------------
+
+def q_tfidf_topterms(sf_dir: str):
+    """(doc_id, term, score_e6, rank) — top-3 TF-IDF terms per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(ds.count())
+    n_buckets = n_buckets_for()
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        g = (
+            pd.DataFrame({"doc_id": docs[keep], "term": flat[keep]})
+            .groupby(["doc_id", "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        h = hash64_array(pa.array(g["term"], pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"], pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "_b": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def idf_score(g: pd.DataFrame) -> pa.Table:
+        # (doc,term) rows are globally unique (tf is computed on the full
+        # doc inside its one source row), so count-per-term here IS df
+        df_map = g.groupby("term")["doc_id"].size()
+        dfv = g["term"].map(df_map).to_numpy().astype(np.float64)
+        idf_e6 = np.floor(1e6 * np.log(n_docs / dfv)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"], pa.string()),
+                "score_e6": pa.array(
+                    g["tf"].to_numpy().astype(np.int64) * idf_e6, pa.int64()
+                ),
+            }
+        )
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_d",
+            pa.array(
+                (splitmix64(d.view(np.uint64)) % np.uint64(n_buckets)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["doc_id", "score_e6", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = g.groupby("doc_id").cumcount().to_numpy() + 1
+        keep = rank <= 3
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy()[keep], pa.int64()),
+                "term": pa.array(g["term"].to_numpy()[keep], pa.string()),
+                "score_e6": pa.array(g["score_e6"].to_numpy()[keep], pa.int64()),
+                "rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(idf_score, batch_format="pandas")
+    )
+    return (
+        scored.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("_d")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT doc_id, tf.term AS term,
+         tf * CAST(floor(1e6 * ln(n / df)) AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score_e6,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS BIGINT) AS rank
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) <= 3
+"""
+
+QUERIES["q_tfidf_topterms"] = (q_tfidf_topterms, SQL_TFIDF)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — flag training documents sharing any word
+# 4-gram with a held-out benchmark set (here: doc_id % 97 == 0, the
+# deterministic stand-in for an eval suite). The benchmark side is tiny by
+# construction, so this is the broadcast shape: its gram hashes are read
+# once, ray.put once, and every batch does one vectorized np.isin — no
+# shuffle touches the big side. (At 100 TB the big side streams; the
+# benchmark gram set for a typical eval suite is a few million uint64s,
+# comfortably broadcastable.) Ray matches grams by xxhash64; the SQL twin
+# compares gram strings — equal absent 64-bit collisions, which the oracle
+# run would surface.
+# --------------------------------------------------------------------------
+
+_DECON_GRAM = 4  # words per shingle
+
+
+def _gram_hashes(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row word-4-gram hashes: returns (doc_index_per_gram, gram_hash)."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+    flat_all = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    keep = flat_all != ""
+    flat = flat_all[keep]
+    # recompute per-row token counts after dropping empties
+    row_of = np.repeat(np.arange(len(lens_all)), lens_all)[keep]
+    lens = np.bincount(row_of, minlength=len(lens_all))
+    g = np.maximum(lens - (_DECON_GRAM - 1), 0)
+    doc_idx = np.repeat(np.arange(len(lens)), g)
+    offsets = np.cumsum(lens) - lens
+    within = np.arange(int(g.sum())) - np.repeat(np.cumsum(g) - g, g)
+    starts = np.repeat(offsets, g) + within
+    gram = flat[starts].astype(object)
+    for s in range(1, _DECON_GRAM):
+        gram = gram + " "
+        gram = gram + flat[starts + s].astype(object)
+    h = hash64_array(pa.array(gram, pa.string()))
+    return doc_idx, h
+
+
+def q_decontaminate(sf_dir: str):
+    """(doc_id, contaminated) for non-benchmark docs; benchmark = id%97==0."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(b: pa.Table, want_bench: bool) -> pa.Table:
+        m = (b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)
+        return b.filter(pa.array(m if want_bench else ~m))
+
+    # small side: benchmark gram hashes, built once and broadcast
+    bench = ds.map_batches(
+        lambda b: _mod_filter(b, True), batch_format="pyarrow"
+    )
+    parts = bench.map_batches(
+        lambda b: pa.table({"h": pa.array(_gram_hashes(b)[1], pa.uint64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    bench_set = ray.put(np.unique(parts["h"].to_numpy().astype(np.uint64)))
+
+    def flag(b: pa.Table) -> pa.Table:
+        bh = ray.get(bench_set)
+        doc_idx, h = _gram_hashes(b)
+        hit = np.zeros(b.num_rows, dtype=bool)
+        if len(h):
+            np.logical_or.at(hit, doc_idx, np.isin(h, bh, assume_unique=False))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "contaminated": pa.array(hit.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        lambda b: flag(_mod_filter(b, False)), batch_format="pyarrow"
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {_DECON_GRAM - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM - 2})) AS u(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+QUERIES["q_decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
+
+
+# --------------------------------------------------------------------------
+# IVF full-probe twin — the same IVF engine as q_ann_ivf with n_probe =
+# n_centroids: probing every inverted list scores every vector, so the
+# result is EXACT top-k and shares q_ann_topk's SQL oracle. This pins the
+# IVF machinery (centroid training, assignment, per-bucket scan, global
+# merge) to a verifiable ground truth; q_ann_ivf keeps the approximate
+# n_probe=4 configuration for the recall/latency trade (rows-only).
+# --------------------------------------------------------------------------
+
+def q_ann_ivf_full(sf_dir: str):
+    from .ann import ivf_topk
+
+    return ivf_topk(
+        _p(sf_dir, "embeddings"), n_queries=5, k=10, n_centroids=16, n_probe=16
+    ).select_columns(["query_id", "vec_id"])
+
+
+QUERIES["q_ann_ivf_full"] = (q_ann_ivf_full, SQL_ANN_TOPK)
