@@ -3617,3 +3617,280 @@ def q_ann_ivf_full(sf_dir: str):
 
 
 QUERIES["q_ann_ivf_full"] = (q_ann_ivf_full, SQL_ANN_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking — split each document into fixed-size overlapping
+# token windows (the standard pre-tokenization step before packing training
+# sequences; complements q_pack_sequences' concat-then-split shape).
+# Embarrassingly parallel flat-map: no shuffle, chunk geometry derived
+# vectorized from the per-doc token count (repeat/arange, no Python row
+# loop). Chunks: start = i·stride for i in 0..ceil(n/stride)-1, width
+# min(window, n-start); zero-token docs emit nothing.
+# --------------------------------------------------------------------------
+
+_CHUNK_WINDOW = 128
+_CHUNK_STRIDE = 64
+
+
+def q_chunk_sliding(sf_dir: str):
+    """(doc_id, chunk_id, start_tok, n_tok) sliding windows per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        n_chunks = -(-n // _CHUNK_STRIDE)  # ceil; 0 for empty docs
+        doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_chunks)
+        cid = np.arange(int(n_chunks.sum())) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        start = cid * _CHUNK_STRIDE
+        width = np.minimum(_CHUNK_WINDOW, np.repeat(n, n_chunks) - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "chunk_id": pa.array(cid.astype(np.int64), pa.int64()),
+                "start_tok": pa.array(start.astype(np.int64), pa.int64()),
+                "n_tok": pa.array(width.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_CHUNK_SLIDING = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       least({_CHUNK_WINDOW}, n - i * {_CHUNK_STRIDE}) AS n_tok
+FROM t, unnest(range(0, CAST(ceil(n / {_CHUNK_STRIDE}.0) AS BIGINT))) AS u(i)
+WHERE n > 0
+"""
+
+QUERIES["q_chunk_sliding"] = (q_chunk_sliding, SQL_CHUNK_SLIDING)
+
+
+# --------------------------------------------------------------------------
+# Unigram LM log-probability scoring — the cheap perplexity proxy used for
+# corpus quality filtering (CCNet-style, with the KenLM swapped for the
+# corpus's own unigram model). Two passes: (1) global term counts via the
+# standard partial+bucketed combine, collected once (vocabulary << corpus)
+# and ray.put as two aligned arrays for binary-search lookup; (2) per-doc
+# vectorized searchsorted + floor(1e6·ln(c/total)) sum. Integer-exact by
+# summing per-token floors, so the SQL twin is bit-identical. At true
+# 100 TB vocabulary scale pass 2 becomes the term-bucketed join of
+# q_tfidf_topterms instead of a broadcast; same results.
+# --------------------------------------------------------------------------
+
+def q_unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, logprob_e6) — unigram LM score per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def term_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tok, n = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"term": pa.array(tok, pa.string()), "c": pa.array(n, pa.int64())}
+        )
+
+    counts = combine_partials(
+        ds.map_batches(term_partial, batch_format="pyarrow"), ["term"], {"c": "sum"}
+    ).to_pandas()
+    counts = counts.sort_values("term")
+    vocab = counts["term"].to_numpy().astype("U")
+    total = float(counts["c"].sum())
+    lp_e6 = np.floor(1e6 * np.log(counts["c"].to_numpy() / total)).astype(np.int64)
+    model = ray.put((vocab, lp_e6))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, lp_e6 = ray.get(model)
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        idx = np.searchsorted(vocab, flat[keep].astype("U"))
+        tok_lp = lp_e6[idx]  # every token is in the corpus vocabulary
+        out_lp = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(out_lp, row_of, tok_lp)
+        n_tok = np.bincount(row_of, minlength=b.num_rows).astype(np.int64)
+        m = n_tok > 0  # SQL's join+group drops zero-token docs
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(m)),
+                "n_tokens": pa.array(n_tok[m], pa.int64()),
+                "logprob_e6": pa.array(out_lp[m], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(CAST(floor(1e6 * ln(c / n)) AS BIGINT)) AS logprob_e6
+FROM tok JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+QUERIES["q_unigram_logprob"] = (q_unigram_logprob, SQL_UNIGRAM_LOGPROB)
+
+
+# --------------------------------------------------------------------------
+# Image dedup survivor selection — the image-axis product decision: for each
+# exact phash near-dup cluster keep the highest-resolution member (pixels
+# desc, image_id asc). Cluster labels come from the distributed CC engine
+# (q_phash_clusters); pixel counts attach via a broadcast sorted-array
+# lookup (the corpus tier is small; at 100 TB this attach is the bucketed
+# equi-join of pipelines/joins.py instead). Selection is one
+# component-bucketed shuffle with a vectorized sort+head(1) per bucket —
+# no per-cluster Python loop.
+# --------------------------------------------------------------------------
+
+def q_phash_survivors(sf_dir: str):
+    """(component, survivor_id, best_pixels, n_members) per phash cluster."""
+    clusters = q_phash_clusters(sf_dir)  # (node, component)
+    n_buckets = n_buckets_for()
+
+    corpus = rd.read_parquet(_phash_oracle_corpus(), columns=["image_id", "w", "h"])
+    pdf = corpus.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(pc.utf8_slice_codeunits(b["image_id"], 4, 16), pa.int64()),
+                "pixels": pc.multiply(
+                    pc.cast(b["w"], pa.int64()), pc.cast(b["h"], pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("node")
+    lut = ray.put((pdf["node"].to_numpy(), pdf["pixels"].to_numpy()))
+
+    def attach(b: pa.Table) -> pa.Table:
+        nodes_sorted, pixels_sorted = ray.get(lut)
+        n = b["node"].to_numpy(zero_copy_only=False)
+        px = pixels_sorted[np.searchsorted(nodes_sorted, n)]
+        comp = b["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "component": pa.array(comp, pa.int64()),
+                "pixels": pa.array(px.astype(np.int64), pa.int64()),
+                "_b": pa.array(
+                    (splitmix64(comp.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["component", "pixels", "node"], ascending=[True, False, True],
+                          kind="mergesort")
+        sizes = g.groupby("component", sort=True).size()
+        first = g.groupby("component", sort=True).head(1).sort_values("component")
+        return pa.table(
+            {
+                "component": pa.array(first["component"].to_numpy(), pa.int64()),
+                "survivor_id": pa.array(first["node"].to_numpy(), pa.int64()),
+                "best_pixels": pa.array(first["pixels"].to_numpy(), pa.int64()),
+                "n_members": pa.array(sizes.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        clusters.map_batches(attach, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+SQL_PHASH_SURVIVORS = f"""
+WITH cl AS ({SQL_PHASH_CLUSTERS}),
+cp AS (
+  SELECT CAST(substr(image_id, 5) AS BIGINT) AS node,
+         CAST(w AS BIGINT) * CAST(h AS BIGINT) AS pixels
+  FROM read_parquet('/tmp/ccray/corpus_5000_16_128.parquet')
+),
+j AS (SELECT cl.node, cl.component, cp.pixels FROM cl JOIN cp USING (node))
+SELECT component, node AS survivor_id, pixels AS best_pixels, n_members FROM (
+  SELECT component, node, pixels,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY component ORDER BY pixels DESC, node) AS rn
+  FROM j
+) WHERE rn = 1
+"""
+
+QUERIES["q_phash_survivors"] = (q_phash_survivors, SQL_PHASH_SURVIVORS)
+
+
+# --------------------------------------------------------------------------
+# Percentile quality filter — keep documents at or above the corpus-global
+# p90 of a quality score (token count here; any integer score plugs in).
+# The threshold is found without sorting values: per-batch value-count
+# partials (distinct scores << rows) → tiny driver combine → the
+# quantile_disc order statistic k = ceil(q·n) − 1 → broadcast threshold →
+# vectorized filter. Same two-pass order-statistic select as
+# q_quantile_exact, specialised to the filter product.
+# --------------------------------------------------------------------------
+
+def q_quality_filter(sf_dir: str):
+    """(doc_id, n_tokens) of docs with n_tokens >= global p90."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        v, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v")["c"]
+        .sum()
+        .sort_index()
+    )
+    n_total = int(hist.sum())
+    k = max(0, -(-9 * n_total // 10) - 1)  # ceil(0.9·n) − 1
+    threshold = int(hist.index.to_numpy()[np.searchsorted(hist.cumsum().to_numpy(), k + 1)])
+
+    def keep(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        m = pa.array(n >= threshold)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(m),
+                "n_tokens": pa.array(n[n >= threshold], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+q AS (SELECT quantile_disc(n_tokens, 0.9) AS th FROM t)
+SELECT doc_id, n_tokens FROM t, q WHERE n_tokens >= th
+"""
+
+QUERIES["q_quality_filter"] = (q_quality_filter, SQL_QUALITY_FILTER)
