@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_ann_topk",
     "q_text_quality",
+    "q_running_total",
+    "q_tfidf_topterms",
     "q_image_stats",
 ]
 

@@ -93,7 +93,11 @@ def prefix_sum(
             }
         )
 
-    bucketed = ds.map_batches(add_range, batch_format="pyarrow")
+    # materialize once: pass 1 (partials) and pass 2 (scan) both consume it,
+    # and a lazy dataset would re-read + re-bucket the input for each. The
+    # projection is three int64 columns — 24 B/row in the object store (with
+    # spill), far cheaper than a second full input scan at scale.
+    bucketed = ds.map_batches(add_range, batch_format="pyarrow").materialize()
 
     # pass 1 — per-range partial sums (one row per range per batch → tiny)
     def range_partial(b: pa.Table) -> pa.Table:
