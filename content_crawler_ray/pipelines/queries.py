@@ -3894,3 +3894,42 @@ SELECT doc_id, n_tokens FROM t, q WHERE n_tokens >= th
 """
 
 QUERIES["q_quality_filter"] = (q_quality_filter, SQL_QUALITY_FILTER)
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding) dedup clusters — the embedding-cosine near-dup pairs
+# (label-blocked + hot-label salting, q_embed_neardup) closed into duplicate
+# clusters through the same distributed connected-components engine as the
+# text-minhash and image-phash paths. Completes the third dedup modality's
+# pair → cluster product line.
+# --------------------------------------------------------------------------
+
+def q_embed_clusters(sf_dir: str):
+    """(node, component) per vector in >=1 cosine near-dup pair."""
+    from .cc import connected_components
+
+    pairs = q_embed_neardup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "a": pc.cast(b["vec_a"], pa.int64()),
+                "b": pc.cast(b["vec_b"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs)
+
+
+SQL_EMBED_CLUSTERS = f"""
+WITH RECURSIVE
+pp AS ({SQL_EMBED_NEARDUP}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pp UNION SELECT vec_b, vec_a FROM pp),
+reach(x, y) AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+)
+SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x
+"""
+
+QUERIES["q_embed_clusters"] = (q_embed_clusters, SQL_EMBED_CLUSTERS)
