@@ -66,3 +66,69 @@ class HyperLogLog:
         h = cls(p)
         h.registers = np.frombuffer(data, dtype=np.uint8).copy()
         return h
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+    estimates with the one-sided guarantee estimate >= true count and, w.h.p.,
+    estimate <= true + (e/w)·N. Same distributed shape as HyperLogLog above:
+    one sketch per batch, associative elementwise-sum merge, so a frequency
+    table over any number of rows moves only n_batches × d·w·8 bytes."""
+
+    # fixed per-row salts (splitmix64 outputs of 1..4) — deterministic runs
+    _SEEDS = np.array(
+        [
+            0x910A2DEC89025CC1,
+            0xBEEB8DA1658EEC67,
+            0xF4DBDF2199689451,
+            0x7773FBC8C80A2A94,
+        ],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, w: int = 4096, d: int = 4):
+        assert d <= len(self._SEEDS)
+        self.w, self.d = w, d
+        self.table = np.zeros((d, w), dtype=np.int64)
+
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return h ^ (h >> np.uint64(31))
+
+    def _indices(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        return np.stack(
+            [
+                (self._mix(h ^ self._SEEDS[i]) % np.uint64(self.w)).astype(np.int64)
+                for i in range(self.d)
+            ]
+        )
+
+    def add_hashes(self, hashes: np.ndarray, counts: np.ndarray) -> "CountMinSketch":
+        idx = self._indices(hashes)
+        c = counts.astype(np.int64, copy=False)
+        for i in range(self.d):
+            np.add.at(self.table[i], idx[i], c)
+        return self
+
+    def estimate(self, hashes: np.ndarray) -> np.ndarray:
+        idx = self._indices(hashes)
+        return np.min(
+            np.stack([self.table[i][idx[i]] for i in range(self.d)]), axis=0
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, w: int = 4096, d: int = 4) -> "CountMinSketch":
+        s = cls(w, d)
+        s.table = np.frombuffer(data, dtype=np.int64).reshape(d, w).copy()
+        return s

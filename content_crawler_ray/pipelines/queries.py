@@ -3933,3 +3933,66 @@ SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x
 """
 
 QUERIES["q_embed_clusters"] = (q_embed_clusters, SQL_EMBED_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+# Count-min heavy hitters — frequency estimates for the corpus's exact
+# top-50 tokens from a mergeable count-min sketch (functions/sketch.py),
+# built per batch and tree-merged exactly like the HLL (n_batches × d·w·8
+# bytes cross the wire — the token multiset never shuffles). Rows-only by
+# nature (a sketch estimate has no SQL twin); the estimate is pinned two
+# ways instead: the registered exact twin q_terms_topk is oracle-green, and
+# tests/test_textops.py asserts the CMS one-sided guarantee
+# (n_cms >= n_exact, overshoot <= (e/w)·N) on this very output.
+# --------------------------------------------------------------------------
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """(token, n_exact, n_cms) for the exact top-50 corpus tokens."""
+    from ..functions.sketch import CountMinSketch
+
+    top = q_terms_topk(sf_dir).to_pandas()  # 50 rows — driver-size by design
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tok, n = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        s = CountMinSketch()
+        s.add_hashes(hash64_array(pa.array(tok, pa.string())), n)
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    def merge_sketches(b: pa.Table) -> pa.Table:
+        s = None
+        for raw in b["sketch"].to_pylist():
+            x = CountMinSketch.from_bytes(raw)
+            s = x if s is None else s.merge(x)
+        if s is None:
+            return pa.table({"sketch": pa.array([], pa.binary())})
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = None
+        for raw in b["sketch"].to_pylist():
+            x = CountMinSketch.from_bytes(raw)
+            s = x if s is None else s.merge(x)
+        est = s.estimate(hash64_array(pa.array(top["token"], pa.string())))
+        return pa.table(
+            {
+                "token": pa.array(top["token"], pa.string()),
+                "n_exact": pa.array(top["n"].to_numpy(), pa.int64()),
+                "n_cms": pa.array(est, pa.int64()),
+            }
+        )
+
+    fan_in = max(4, n_buckets_for() // 4)
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(fan_in)
+        .map_batches(merge_sketches, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+QUERIES["q_cms_heavy_hitters"] = (q_cms_heavy_hitters, None)

@@ -47,3 +47,40 @@ def test_decontaminate_planted_gram(ray_session, tmp_path):
     assert out.loc[1, "contaminated"] == 1
     assert out.loc[2, "contaminated"] == 0
     assert out.loc[3, "contaminated"] == 0
+
+
+def test_cms_heavy_hitters_guarantees(ray_session, sf_dir):
+    from content_crawler_ray.pipelines.queries import q_cms_heavy_hitters, q_terms_topk
+
+    df = q_cms_heavy_hitters(sf_dir).to_pandas()
+    n_top = len(q_terms_topk(sf_dir).to_pandas())  # vocab may be < 50 at tiny sf
+    assert len(df) == n_top
+    # one-sided guarantee: the sketch never undercounts
+    assert (df["n_cms"] >= df["n_exact"]).all()
+    # CMS error bound: overshoot <= (e/w)·N w.h.p. (deterministic seeds, so
+    # a pass here is a pass forever); N = total token count of the corpus
+    import duckdb
+
+    n_total = duckdb.sql(
+        "SELECT count(*) FROM (SELECT unnest(list_filter(regexp_split_to_array("
+        f"lower(text), '[^a-z0-9]+'), x -> x <> '')) FROM read_parquet('{sf_dir}/documents.parquet'))"
+    ).fetchone()[0]
+    bound = 2.7182818 / 4096 * n_total
+    assert ((df["n_cms"] - df["n_exact"]) <= bound).all()
+
+
+def test_cms_kernel_merge_equals_single_pass():
+    import numpy as np
+
+    from content_crawler_ray.functions.sketch import CountMinSketch
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**63, size=1000).astype(np.uint64)
+    c = rng.integers(1, 9, size=1000)
+    whole = CountMinSketch().add_hashes(h, c)
+    a = CountMinSketch().add_hashes(h[:400], c[:400])
+    b = CountMinSketch().add_hashes(h[400:], c[400:])
+    assert np.array_equal(a.merge(b).table, whole.table)
+    # exact when there are no collisions in a tiny workload
+    tiny = CountMinSketch().add_hashes(h[:3], np.array([5, 7, 9]))
+    assert np.array_equal(tiny.estimate(h[:3]), np.array([5, 7, 9]))
