@@ -3996,3 +3996,123 @@ def q_cms_heavy_hitters(sf_dir: str):
 
 
 QUERIES["q_cms_heavy_hitters"] = (q_cms_heavy_hitters, None)
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring — the retrieval-side ranking primitive (Robertson
+# et al.; the standard k1/b formulation) for a fixed query over the corpus.
+# Corpus stats (N, avgdl, per-term df) come from one tiny aggregate pass
+# (df only for the 3 query terms — a filtered partial, not a vocabulary
+# shuffle); scoring is then a single broadcast map_batches. Integer-exact
+# oracle twin: both sides evaluate the IDENTICAL parenthesised double
+# expression (IEEE +,*,/ are correctly rounded, ln is the shared libm) and
+# floor(1e6·score); docs matching no query term are dropped on both sides.
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = ("data", "pipeline", "quality")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25(sf_dir: str):
+    """(doc_id, score_e6) BM25 scores for the fixed 3-term query."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qterms = np.array(_BM25_QUERY)
+
+    # stats pass: per-batch (n_docs, total_tokens, df per query term)
+    def stats_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        flat = flat[keep]
+        df = np.zeros(len(qterms), dtype=np.int64)
+        for i, t in enumerate(qterms):
+            df[i] = len(np.unique(row_of[flat == t]))
+        return pa.table(
+            {
+                "n_docs": pa.array([b.num_rows], pa.int64()),
+                "n_tokens": pa.array([int(keep.sum())], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    sp = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = float(sp["n_docs"].sum())
+    avgdl = float(sp["n_tokens"].sum()) / n_docs
+    df = np.sum(np.stack(sp["df"].to_numpy()), axis=0).astype(np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)  # ln, shared libm
+    model = ray.put((qterms, idf, avgdl))
+
+    def score(b: pa.Table) -> pa.Table:
+        qterms, idf, avgdl = ray.get(model)
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        flat = flat[keep]
+        dl = np.bincount(row_of, minlength=b.num_rows).astype(np.float64)
+        # per-term floor BEFORE the sum: Σ floor(1e6·contrib) is invariant to
+        # summation order, unlike floor(1e6·Σ contrib) (SQL sum() order is
+        # unspecified and double addition is not associative)
+        total = np.zeros(b.num_rows, dtype=np.int64)
+        hit = np.zeros(b.num_rows, dtype=bool)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl))
+        for i, t in enumerate(qterms):
+            tf = np.bincount(row_of[flat == t], minlength=b.num_rows).astype(
+                np.float64
+            )
+            present = tf > 0
+            hit |= present
+            contrib = idf[i] * ((tf * (_BM25_K1 + 1.0)) / (tf + norm))
+            total = total + np.where(
+                present, np.floor(1e6 * contrib), 0.0
+            ).astype(np.int64)
+        m = hit
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(m)),
+                "score_e6": pa.array(total[m], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({list(_BM25_QUERY)}) AS term),
+df AS (
+  SELECT q.term, CAST(count(DISTINCT tok.doc_id) AS DOUBLE) AS df
+  FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY 1
+),
+tf AS (
+  SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok JOIN q USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(floor(1e6 * (
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * ((tf * ({_BM25_K1} + 1.0))
+              / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl))))
+         )) AS BIGINT)) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, s AS score_e6 FROM scored
+"""
+
+QUERIES["q_bm25"] = (q_bm25, SQL_BM25)
