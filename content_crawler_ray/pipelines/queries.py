@@ -4116,3 +4116,62 @@ SELECT doc_id, s AS score_e6 FROM scored
 """
 
 QUERIES["q_bm25"] = (q_bm25, SQL_BM25)
+
+
+# --------------------------------------------------------------------------
+# Repetition capping — the soft-dedup policy for training corpora: instead
+# of collapsing each near-dup cluster to one survivor, keep at most K copies
+# (deterministically: the K smallest doc_ids) so common-but-legitimate text
+# keeps bounded representation. One component-bucketed shuffle over the CC
+# labels, vectorized cumcount per bucket — the same selection engine as
+# q_phash_survivors with rank<K instead of rank=1.
+# --------------------------------------------------------------------------
+
+_CAP_K = 2  # copies kept per duplicate cluster
+
+
+def q_dedup_cap(sf_dir: str):
+    """(node, component, rank) — the ≤K members kept per near-dup cluster."""
+    clusters = q_dedup_clusters(sf_dir)  # (node, component)
+    n_buckets = n_buckets_for()
+
+    def bucket(b: pa.Table) -> pa.Table:
+        comp = b["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_b",
+            pa.array(
+                (splitmix64(comp.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                pa.int64(),
+            ),
+        )
+
+    def cap(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["component", "node"], kind="mergesort")
+        rank = g.groupby("component").cumcount().to_numpy() + 1
+        keep = rank <= _CAP_K
+        return pa.table(
+            {
+                "node": pa.array(g["node"].to_numpy()[keep], pa.int64()),
+                "component": pa.array(g["component"].to_numpy()[keep], pa.int64()),
+                "rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        clusters.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(cap, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_CAP = f"""
+WITH cl AS ({SQL_DEDUP_CLUSTERS})
+SELECT node, component, rn AS rank FROM (
+  SELECT node, component,
+         CAST(row_number() OVER (PARTITION BY component ORDER BY node) AS BIGINT)
+           AS rn
+  FROM cl
+) WHERE rn <= {_CAP_K}
+"""
+
+QUERIES["q_dedup_cap"] = (q_dedup_cap, SQL_DEDUP_CAP)
