@@ -140,6 +140,24 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Curation pipeline: documents → filtered/deduped/decontaminated docs +
+    token-budget packing plan (pipelines/curate.py); resumable per stage."""
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.curate import curate_corpus
+
+    metrics = curate_corpus(
+        args.sf_dir,
+        args.out,
+        keep_lang=args.keep_lang,
+        quality_pct=args.quality_pct,
+        pack_budget=args.pack_budget,
+    )
+    print(json.dumps({"out": args.out, **metrics}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="content_crawler_ray")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -183,6 +201,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    cu = sub.add_parser("curate", help="end-to-end training-corpus curation")
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--keep-lang", default="en")
+    cu.add_argument("--quality-pct", type=int, default=10)
+    cu.add_argument("--pack-budget", type=int, default=512)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,224 @@
+"""End-to-end training-corpus curation — the composition product the single
+operators exist for: language filter → quality-percentile filter → exact
+dedup → MinHash near-dup survivor dedup → benchmark decontamination →
+token-budget sequence packing, over the documents table, emitting a packed
+corpus (kept docs + packing plan) as partitioned parquet plus per-stage
+lineage counts.
+
+Execution shape (designed for 100 TB, tested at sandbox scale):
+
+  stage A  ONE streaming pass: langid + quality threshold (threshold from a
+           tiny value-count pre-pass) fused in a single map_batches, then
+           the bucketed exact-dedup shuffle; the cleaned set persists to
+           ``<out>/clean/`` parquet. A persisted stage boundary is
+           deliberate — it is the resume point, and two downstream
+           consumers (the MinHash pair sub-DAG and final assembly) read it
+           without recomputing the pass.
+  stage B  MinHash+LSH verified pairs over the cleaned set → distributed
+           connected components → the non-representative drop set. The
+           drop set is near-dup nodes only (tiny vs the corpus) and is
+           broadcast via ray.put; at a scale where even that set is large,
+           swap the np.isin for the bucketed anti-join (q_j7 shape).
+  stage C  ONE streaming pass over ``clean/``: drop benchmark docs
+           (doc_id % 97 == 0 — the held-out eval stand-in, matching
+           q_decontaminate) and docs sharing a word-4-gram with them
+           (broadcast gram-hash semi-join), drop MinHash non-survivors,
+           persist the kept docs to ``<out>/docs/``; then the
+           range-partitioned prefix sum assigns token-budget bins and the
+           packing PLAN (doc_id, n_tokens, bin) lands in ``<out>/plan/``.
+           The plan references docs by id instead of duplicating text —
+           the trainer's loader streams text from ``docs/`` by id.
+
+Every stage writes a ``_DONE`` marker; re-running skips completed stages
+(per-stage resumability, the same contract as the crawl's wave manifests).
+Lineage counts are streamed to a tiny counter actor from inside the batch
+functions — no extra counting passes over the data.
+
+Reference provenance: the reference has no curation pipeline (it crawls and
+indexes); this is the Axes-B extension composing SURVEY §2's transform/
+dedup machinery into the training-data product the north rule targets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions import text as T
+from ..functions.hashing import hash64_array
+
+
+@ray.remote(num_cpus=0)
+class _CurateCounter:
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+
+    def add(self, stage: str, n: int) -> None:
+        self.counts[stage] = self.counts.get(stage, 0) + int(n)
+
+    def get(self) -> dict:
+        return dict(self.counts)
+
+
+def _done(path: str) -> str:
+    # sibling marker, NOT inside the directory — read_parquet(dir) must see
+    # only parquet files
+    return path.rstrip("/") + "._DONE"
+
+
+def _quality_threshold(ds: rd.Dataset, pct: int) -> int:
+    """pct-th percentile of token counts via value-count partials (the
+    q_quality_filter order-statistic select; never collects values)."""
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        v, c = np.unique(n, return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v")["c"]
+        .sum()
+        .sort_index()
+    )
+    n_total = int(hist.sum())
+    k = max(0, -(-pct * n_total // 100) - 1)
+    return int(hist.index.to_numpy()[np.searchsorted(hist.cumsum().to_numpy(), k + 1)])
+
+
+def curate_corpus(
+    sf_dir: str,
+    out_dir: str,
+    keep_lang: str = "en",
+    quality_pct: int = 10,
+    minhash_threshold: float = 0.8,
+    pack_budget: int = 512,
+) -> dict:
+    """Run the curation pipeline; returns per-stage lineage counts."""
+    from .cc import connected_components
+    from .dedup import exact_dedup_first, minhash_verified_pairs
+    from .queries import _gram_hashes
+    from .scan import prefix_sum
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    clean_dir = os.path.join(out_dir, "clean")
+    docs_dir = os.path.join(out_dir, "docs")
+    plan_dir = os.path.join(out_dir, "plan")
+    counter = _CurateCounter.remote()
+
+    # ---- stage A: lang + quality filter (fused) → exact dedup → clean/ ----
+    if not os.path.exists(_done(clean_dir)):
+        ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+        threshold = _quality_threshold(ds, quality_pct)
+
+        def lang_quality(b: pa.Table) -> pa.Table:
+            ray.get(counter.add.remote("input", b.num_rows))
+            lang = T.langid(pd.Series(b["text"].to_numpy(zero_copy_only=False)))
+            keep = (lang == keep_lang).to_numpy()
+            ray.get(counter.add.remote("lang_kept", int(keep.sum())))
+            b = b.filter(pa.array(keep))
+            n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(n >= threshold))
+            ray.get(counter.add.remote("quality_kept", b.num_rows))
+            return b
+
+        deduped = exact_dedup_first(
+            ds.map_batches(lang_quality, batch_format="pyarrow")
+        ).select_columns(["doc_id", "text"])
+        deduped.write_parquet(clean_dir)
+        open(_done(clean_dir), "w").write("ok")
+
+    clean_glob = clean_dir  # read_parquet accepts the directory
+    clean = rd.read_parquet(clean_glob, columns=["doc_id", "text"])
+    if not os.path.exists(_done(docs_dir)):
+        # ---- stage B: MinHash survivor drop set over clean/ (only needed
+        # when stage C must still run) ----
+        pairs = minhash_verified_pairs(clean_glob, threshold=minhash_threshold)
+        comp = connected_components(
+            pairs.map_batches(
+                lambda b: pa.table(
+                    {
+                        "a": pc.cast(b["doc_a"], pa.int64()),
+                        "b": pc.cast(b["doc_b"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        ).to_pandas()
+        drop = np.sort(
+            comp.loc[comp["node"] != comp["component"], "node"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        ray.get(counter.add.remote("minhash_dropped", len(drop)))
+
+        # ---- stage C: decontaminate + drop non-survivors → docs/ + plan/ ----
+
+        def bench_grams(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return pa.table(
+                {"h": pa.array(_gram_hashes(b.filter(pa.array(m)))[1], pa.uint64())}
+            )
+
+        bset = np.unique(
+            clean.map_batches(bench_grams, batch_format="pyarrow")
+            .to_pandas()["h"]
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        refs = ray.put((bset, drop))
+
+        def final_filter(b: pa.Table) -> pa.Table:
+            bset, drop = ray.get(refs)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids % 97 != 0  # benchmark rows never train
+            doc_idx, h = _gram_hashes(b)
+            contaminated = np.zeros(b.num_rows, dtype=bool)
+            if len(h):
+                np.logical_or.at(contaminated, doc_idx, np.isin(h, bset))
+            ray.get(
+                counter.add.remote("contaminated_dropped", int((keep & contaminated).sum()))
+            )
+            keep &= ~contaminated
+            keep &= ~np.isin(ids, drop)
+            b = b.filter(pa.array(keep))
+            ray.get(counter.add.remote("final_kept", b.num_rows))
+            return b.append_column("n_tokens", T.token_counts(b["text"]))
+
+        clean.map_batches(final_filter, batch_format="pyarrow").write_parquet(docs_dir)
+        open(_done(docs_dir), "w").write("ok")
+
+    if not os.path.exists(_done(plan_dir)):
+        kept = rd.read_parquet(docs_dir, columns=["doc_id", "n_tokens"])
+        run = prefix_sum(kept, "doc_id", "n_tokens", out_col="_run")
+
+        def binify(b: pa.Table) -> pa.Table:
+            r = b["_run"].to_numpy(zero_copy_only=False)
+            t = b["n_tokens"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": b["n_tokens"],
+                    "bin": pa.array((r - t) // pack_budget, pa.int64()),
+                }
+            )
+
+        run.map_batches(binify, batch_format="pyarrow").write_parquet(plan_dir)
+        open(_done(plan_dir), "w").write("ok")
+
+    metrics = ray.get(counter.get.remote())
+    metrics["n_clean"] = rd.read_parquet(clean_glob).count()  # parquet metadata
+    plan = rd.read_parquet(plan_dir, columns=["bin"])
+    metrics["n_bins"] = int(plan.to_pandas()["bin"].nunique())
+    return metrics
+
+
+def read_plan(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(out_dir, "plan"))

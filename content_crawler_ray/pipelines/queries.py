@@ -16,6 +16,7 @@ oracle_sql | None)``. ``None`` marks genuinely non-SQL-expressible operators
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -4175,3 +4176,91 @@ SELECT node, component, rn AS rank FROM (
 """
 
 QUERIES["q_dedup_cap"] = (q_dedup_cap, SQL_DEDUP_CAP)
+
+
+# --------------------------------------------------------------------------
+# Curation flagship — pipelines/curate.py end-to-end (langid filter →
+# global quality percentile → exact dedup → MinHash survivor dedup →
+# benchmark decontamination → token-budget packing), returning the packing
+# PLAN (doc_id, n_tokens, bin). The oracle is the signature achievement
+# here: every stage's already-validated SQL twin CTE-composed into ONE
+# DuckDB query — the langid twin, quantile_disc threshold, row_number exact
+# dedup, the full 128-perm MinHash+LSH twin re-scoped onto the cleaned CTE,
+# recursive-CTE connected components, the 4-gram decontamination twin, and
+# the packing window — so the entire multi-stage distributed pipeline is
+# checked value-for-value against one declarative specification.
+# --------------------------------------------------------------------------
+
+def q_curate_plan(sf_dir: str):
+    """(doc_id, n_tokens, bin) — the curated corpus packing plan."""
+    import shutil
+
+    from .curate import curate_corpus, read_plan
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/ccray/curate_{tag}"
+    shutil.rmtree(out, ignore_errors=True)  # fresh, not resumed, per query run
+    os.makedirs(out, exist_ok=True)
+    curate_corpus(sf_dir, out)
+    return read_plan(out).select_columns(["doc_id", "n_tokens", "bin"])
+
+
+# the MinHash twin re-scoped from the raw table onto the cleaned CTE (its
+# single table reference is substituted; all 128 perm params, band folds and
+# the MAX_BUCKET hot guard carry over verbatim)
+_MH_ON_CLEAN = re.sub(r"\bdocuments\b", "clean_docs", SQL_DEDUP_MINHASH)
+
+SQL_CURATE_PLAN = f"""
+WITH RECURSIVE
+langs AS ({SQL_TEXT_LANGID}),
+tokc_all AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n
+  FROM documents),
+th AS (SELECT quantile_disc(n, 0.10) AS th FROM tokc_all),
+lang_kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN langs l USING (doc_id) WHERE l.pred_lang = 'en'),
+qual AS (
+  SELECT k.doc_id, k.text FROM lang_kept k
+  JOIN tokc_all t USING (doc_id) CROSS JOIN th WHERE t.n >= th.th),
+clean_docs AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM qual
+  ) WHERE rn = 1),
+mh AS ({_MH_ON_CLEAN}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh UNION SELECT doc_b, doc_a FROM mh),
+reach(x, y) AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+dropset AS (SELECT node FROM comp WHERE node <> component),
+toks4 AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM clean_docs),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM toks4, unnest(range(1, len(t) - 2)) AS u(i)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 97 <> 0),
+kept AS (
+  SELECT c.doc_id,
+         CAST(len(list_filter(string_split(c.text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM clean_docs c
+  WHERE c.doc_id % 97 <> 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND c.doc_id NOT IN (SELECT node FROM dropset)),
+packed AS (
+  SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS run FROM kept)
+SELECT doc_id, n_tokens, (run - n_tokens) // 512 AS bin FROM packed
+"""
+
+QUERIES["q_curate_plan"] = (q_curate_plan, SQL_CURATE_PLAN)

@@ -1,0 +1,63 @@
+"""End-to-end curation pipeline (pipelines/curate.py): product invariants,
+per-stage resume, and determinism."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from content_crawler_ray.pipelines.curate import curate_corpus, read_plan
+
+
+def _run(tmp: str, sf_dir: str) -> dict:
+    return curate_corpus(sf_dir, tmp)
+
+
+def test_curate_invariants(ray_session, sf_dir, tmp_path):
+    out = str(tmp_path / "c1")
+    m = _run(out, sf_dir)
+    plan = read_plan(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = rd.read_parquet(os.path.join(out, "docs")).to_pandas()
+
+    # lineage counts agree with the persisted product
+    assert m["final_kept"] == len(plan) == len(docs)
+    assert m["input"] >= m["lang_kept"] >= m["quality_kept"] >= m["final_kept"]
+
+    # benchmark docs never train
+    assert (plan["doc_id"] % 97 != 0).all()
+
+    # packing: bins are the exclusive-cumsum token windows in doc_id order
+    excl = plan["n_tokens"].to_numpy().cumsum() - plan["n_tokens"].to_numpy()
+    assert np.array_equal(plan["bin"].to_numpy(), excl // 512)
+    assert m["n_bins"] == plan["bin"].nunique()
+
+    # the plan references only persisted docs (loader contract)
+    assert set(plan["doc_id"]) == set(docs["doc_id"])
+
+
+def test_curate_resume_and_determinism(ray_session, sf_dir, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _run(a, sf_dir)
+    _run(b, sf_dir)
+    pa_, pb = (
+        read_plan(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for d in (a, b)
+    )
+    pd.testing.assert_frame_equal(pa_, pb)  # two fresh runs identical
+
+    # interrupt after stage A: blow away downstream products, rerun → same plan
+    shutil.rmtree(os.path.join(b, "docs"))
+    shutil.rmtree(os.path.join(b, "plan"))
+    os.remove(os.path.join(b, "docs") + "._DONE")
+    os.remove(os.path.join(b, "plan") + "._DONE")
+    _run(b, sf_dir)
+    pb2 = read_plan(b).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb2)
+
+    # fully-done run is a no-op resume (markers short-circuit every stage)
+    m = _run(b, sf_dir)
+    pb3 = read_plan(b).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb3)
+    assert m.get("input", 0) == 0  # no batch work re-ran
