@@ -163,6 +163,22 @@ def run_bench() -> dict:
         per_query["backup_corpus"] = round(min(draws), 3)
         shutil.rmtree(bdir, ignore_errors=True)
 
+        # end-to-end curation (langid → quality → exact+minhash dedup →
+        # decontaminate → pack) over the synthetic 20k-doc table; fixture
+        # synthesis is cached/untimed like the crawl corpus
+        from content_crawler_ray.pipelines.curate import curate_corpus
+
+        docs_dir = synth.ensure_documents(20_000)
+        cdir = f"{bench_dir}/bench_curate_{num_cpus}"
+        draws = []
+        for _ in range(q_repeats):
+            shutil.rmtree(cdir, ignore_errors=True)
+            t0 = time.time()
+            curate_corpus(docs_dir, cdir)
+            draws.append(time.time() - t0)
+        per_query["curate_20k_docs"] = round(min(draws), 3)
+        shutil.rmtree(cdir, ignore_errors=True)
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(warm_out, ignore_errors=True)
     result = {

@@ -174,3 +174,77 @@ def _trapify(url: str, rng: np.random.Generator) -> str:
             if "?" not in out:
                 out = out + "?b=2&a=1"
     return out
+
+
+# --- large-scale documents synthesis (curation/dedup benchmarks) ------------
+
+_LANG_STEER = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def make_documents(n_docs: int, seed: int = 42) -> pa.Table:
+    """Deterministic documents table at arbitrary scale (same schema as the
+    driver testdata's fixed 500-row documents.parquet) for benchmarking the
+    text/dedup/curation operators beyond toy size: Zipf token draws over a
+    synthetic vocabulary, language steered by marker-word prefixes the
+    langid kernel keys on (70/10/10/10 en/de/fr/es), ~1.5% planted exact
+    duplicates and ~1.5% planted near duplicates (one mid-token mutated)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)], dtype=object)
+    # shifted-Zipf: heavy enough for realistic term skew, flat enough that
+    # common-word 4-grams don't collide across unrelated docs (a pure 1/rank
+    # head puts ~12% of all tokens on ONE word and decontamination would
+    # flag half the corpus)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = 1.0 / (ranks + 50.0)
+    p /= p.sum()
+    lens = rng.integers(20, 200, size=n_docs)
+    total = int(lens.sum())
+    draws = vocab[rng.choice(len(vocab), size=total, p=p)]
+    offs = np.cumsum(lens) - lens
+    lang_idx = rng.choice(4, size=n_docs, p=[0.7, 0.1, 0.1, 0.1])
+    lang_names = np.array(["en", "de", "fr", "es"])
+    langs = lang_names[lang_idx]
+    steer = {k: " ".join(v) for k, v in _LANG_STEER.items()}
+    texts = [
+        steer[langs[i]] + " " + " ".join(draws[offs[i] : offs[i] + lens[i]])
+        for i in range(n_docs)
+    ]
+    kind = rng.random(n_docs)
+    for i in range(1, n_docs):
+        if kind[i] < 0.015:  # exact duplicate of the previous doc
+            texts[i] = texts[i - 1]
+        elif kind[i] < 0.03:  # near duplicate: one token mutated
+            toks = texts[i - 1].split(" ")
+            toks[len(toks) // 2] = "zzmut"
+            texts[i] = " ".join(toks)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(
+                np.where(rng.random(n_docs) < 0.5, "web", "book"), pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def ensure_documents(n_docs: int, seed: int = 42, cache_dir: str = "/tmp/ccray") -> str:
+    """Write-once cached sf-tier-shaped dir holding documents.parquet."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(cache_dir, f"docs_{n_docs}_{seed}")
+    path = os.path.join(d, "documents.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(make_documents(n_docs, seed), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return d

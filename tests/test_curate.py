@@ -61,3 +61,21 @@ def test_curate_resume_and_determinism(ray_session, sf_dir, tmp_path):
     pb3 = read_plan(b).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(pa_, pb3)
     assert m.get("input", 0) == 0  # no batch work re-ran
+
+
+def test_make_documents_deterministic_with_planted_dups():
+    from content_crawler_ray.sources.synth import make_documents
+
+    a = make_documents(2000).to_pandas()
+    b = make_documents(2000).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # same seed → identical table
+    texts = a["text"].tolist()
+    exact = sum(texts[i] == texts[i - 1] for i in range(1, len(texts)))
+    assert 10 <= exact <= 60  # ~1.5% planted exact dups
+    assert a["lang"].value_counts(normalize=True)["en"] > 0.6
+    # language steering drives the langid kernel, not just the lang column
+    from content_crawler_ray.functions.text import langid
+
+    pred = langid(a["text"].head(200))
+    agree = (pred.to_numpy() == a["lang"].head(200).to_numpy()).mean()
+    assert agree > 0.95
