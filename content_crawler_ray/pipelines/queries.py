@@ -4264,3 +4264,62 @@ SELECT doc_id, n_tokens, (run - n_tokens) // 512 AS bin FROM packed
 """
 
 QUERIES["q_curate_plan"] = (q_curate_plan, SQL_CURATE_PLAN)
+
+
+# --------------------------------------------------------------------------
+# PageRank — iterative link analysis (pipelines/graph.py) over the
+# deterministic orders graph (src = o_custkey, dst = o_orderkey % 150).
+# Integer fixed-point (e9 scale, floor division everywhere, damping 85/100)
+# makes three distributed power iterations bit-identical to three UNROLLED
+# SQL iterations — the repo's exact-oracle discipline extended to an
+# iterative algorithm.
+# --------------------------------------------------------------------------
+
+def q_pagerank(sf_dir: str):
+    """(node, rank_e9) after 3 exact fixed-point PageRank iterations."""
+    from .graph import pagerank
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b["o_custkey"], pa.int64()),
+                "dst": pa.array(
+                    b["o_orderkey"].to_numpy(zero_copy_only=False) % 150, pa.int64()
+                ),
+            }
+        )
+
+    return pagerank(ds.map_batches(edges, batch_format="pyarrow"), n_iters=3)
+
+
+def _sql_pr_iter(prev: str) -> str:
+    return f"""
+  SELECT nd.node,
+         (150000000 // n.n) + (85 * coalesce(m.inc, 0)) // 100 AS r
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum({prev}.r // deg.outdeg) AS BIGINT) AS inc
+    FROM e JOIN {prev} ON {prev}.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY 1
+  ) m ON m.node = nd.node
+"""
+
+
+SQL_PAGERANK = f"""
+WITH e AS (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % 150 AS BIGINT) AS dst
+  FROM orders),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, 1000000000 // n.n AS r FROM nodes CROSS JOIN n),
+it1 AS ({_sql_pr_iter("r0")}),
+it2 AS ({_sql_pr_iter("it1")}),
+it3 AS ({_sql_pr_iter("it2")})
+SELECT node, r AS rank_e9 FROM it3
+"""
+
+QUERIES["q_pagerank"] = (q_pagerank, SQL_PAGERANK)
