@@ -4323,3 +4323,76 @@ SELECT node, r AS rank_e9 FROM it3
 """
 
 QUERIES["q_pagerank"] = (q_pagerank, SQL_PAGERANK)
+
+
+# --------------------------------------------------------------------------
+# Source mixing (token-budget rebalancing) — the data-mixing step of a
+# training pipeline: measure per-source token totals, derive the permille
+# downsample rate that equalizes every source to the smallest source's
+# token budget, and apply it as the same deterministic Knuth-hash filter as
+# q_sample_hash. Unlike q_sample_stratified (fixed rates), the rates here
+# are COMPUTED from the data in a first tiny aggregate pass, then broadcast
+# — two passes total, no shuffle of the corpus itself.
+# --------------------------------------------------------------------------
+
+def q_source_mix(sf_dir: str):
+    """(doc_id, source, n_tokens) downsampled to equal per-source budgets."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"source": b["source"].to_numpy(zero_copy_only=False), "n": n})
+            .groupby("source", as_index=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "ts": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source")["ts"]
+        .sum()
+    )
+    tmin = int(tot.min())
+    rates = {s: (1000 * tmin) // int(ts) for s, ts in tot.items()}
+    rates_ref = ray.put(rates)
+
+    def keep(b: pa.Table) -> pa.Table:
+        rates = ray.get(rates_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        r = pd.Series(src).map(rates).to_numpy().astype(np.int64)
+        m = (ids * 2654435761) % 1000 < r
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "source": pa.array(src[m], pa.string()),
+                "n_tokens": pa.array(n[m].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_SOURCE_MIX = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS ts FROM t GROUP BY 1),
+mn AS (SELECT min(ts) AS tmin FROM tot),
+rate AS (SELECT source, (1000 * tmin) // ts AS r FROM tot CROSS JOIN mn)
+SELECT doc_id, source, n_tokens FROM t JOIN rate USING (source)
+WHERE (doc_id * 2654435761) % 1000 < r
+"""
+
+QUERIES["q_source_mix"] = (q_source_mix, SQL_SOURCE_MIX)
