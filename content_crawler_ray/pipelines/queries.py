@@ -4396,3 +4396,121 @@ WHERE (doc_id * 2654435761) % 1000 < r
 """
 
 QUERIES["q_source_mix"] = (q_source_mix, SQL_SOURCE_MIX)
+
+
+# --------------------------------------------------------------------------
+# Token entropy — the repetitiveness quality signal (low-entropy docs are
+# boilerplate/spam): H ≈ Σ_t c_t·ln(n/c_t) / n per doc. Integer-exact
+# cross-engine form: Σ_t floor(1e6·c_t·ln(n/c_t)) // n — per-term floors
+# before the sum (order-independent, the q_bm25 discipline), one shuffle-
+# free vectorized pass.
+# --------------------------------------------------------------------------
+
+def q_token_entropy(sf_dir: str):
+    """(doc_id, entropy_e6) token-distribution entropy per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        flat = flat[keep]
+        n_tok = np.bincount(row_of, minlength=b.num_rows).astype(np.int64)
+        # per-(doc,term) counts without a Python loop
+        key = np.char.add(np.char.add(row_of.astype("U10"), "\x00"), flat.astype("U"))
+        uniq, first, cnt = np.unique(key, return_index=True, return_counts=True)
+        rows = row_of[first]
+        n_of = n_tok[rows].astype(np.float64)
+        c = cnt.astype(np.float64)
+        contrib = np.floor(1e6 * c * np.log(n_of / c)).astype(np.int64)
+        ent = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(ent, rows, contrib)
+        m = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(m)),
+                "entropy_e6": pa.array(ent[m] // n_tok[m], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+n AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY 1),
+ct AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2)
+SELECT ct.doc_id,
+       sum(CAST(floor(1e6 * c * ln(n / c)) AS BIGINT))
+         // CAST(n AS BIGINT) AS entropy_e6
+FROM ct JOIN n USING (doc_id)
+GROUP BY ct.doc_id, n.n
+"""
+
+QUERIES["q_token_entropy"] = (q_token_entropy, SQL_TOKEN_ENTROPY)
+
+
+# --------------------------------------------------------------------------
+# Time-decayed aggregate — recency-weighted per-user activity (the freshness
+# signal a recrawl scheduler ranks on): each event's value halves per day of
+# age. Exact across engines: integer cents right-shifted by whole days of
+# age (floor at every step), one partial-agg pass + the standard bucketed
+# combine; the reference ts (max event ts) comes from a cheap metadata-size
+# pre-pass.
+# --------------------------------------------------------------------------
+
+def q_decayed_sum(sf_dir: str):
+    """(user_id, decayed_cents) with value·2^-age_days halving."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    tmax = ds.max("ts")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        age_days = ((np.datetime64(tmax, "us") - ts) // np.timedelta64(1, "D")).astype(
+            np.int64
+        )
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        shift = np.minimum(age_days, 62)
+        dec = cents >> shift
+        g = (
+            pd.DataFrame({"user_id": b["user_id"].to_numpy(zero_copy_only=False), "d": dec})
+            .groupby("user_id", as_index=False)["d"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "decayed_cents": pa.array(g["d"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"decayed_cents": "sum"},
+    )
+
+
+SQL_DECAYED_SUM = """
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+           // CAST(pow(2, least(
+                (epoch_us(tmax) - epoch_us(ts)) // 86400000000, 62))
+              AS BIGINT) AS d
+  FROM events CROSS JOIN mx
+)
+SELECT user_id, CAST(sum(d) AS BIGINT) AS decayed_cents FROM e GROUP BY 1
+"""
+
+QUERIES["q_decayed_sum"] = (q_decayed_sum, SQL_DECAYED_SUM)
