@@ -4514,3 +4514,155 @@ SELECT user_id, CAST(sum(d) AS BIGINT) AS decayed_cents FROM e GROUP BY 1
 """
 
 QUERIES["q_decayed_sum"] = (q_decayed_sum, SQL_DECAYED_SUM)
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence — pointwise mutual information for pairs of head-vocab
+# terms co-occurring in a document (collocation mining / tokenizer-merge
+# seeding). The head vocabulary (exact top-30 terms) bounds the pair space;
+# each batch computes its co-occurrence counts as ONE numpy matmul over a
+# docs×V indicator matrix (no pair loops), partials combine by summing the
+# tiny V×V matrix. PMI_e6 = floor(1e6·ln(N·C_ab/(C_a·C_b))) — integer-exact.
+# --------------------------------------------------------------------------
+
+_PMI_V = 30
+
+
+def q_pmi_pairs(sf_dir: str):
+    """(term_a, term_b, n_ab, pmi_e6) for co-occurring head-vocab pairs."""
+    top = q_terms_topk(sf_dir).to_pandas().head(_PMI_V)
+    vocab = np.sort(top["token"].to_numpy().astype("U"))
+    vref = ray.put(vocab)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def cooc(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        flat = flat[keep].astype("U")
+        idx = np.searchsorted(vocab, flat)
+        hit = (idx < len(vocab)) & (vocab[np.minimum(idx, len(vocab) - 1)] == flat)
+        m = np.zeros((b.num_rows, len(vocab)), dtype=np.int64)
+        m[row_of[hit], idx[hit]] = 1  # presence, not counts
+        c = m.T @ m  # V×V co-occurrence (diag = doc frequency)
+        return pa.table({"c": pa.array([c.ravel().tolist()], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(cooc, batch_format="pyarrow").to_pandas()
+    V = len(vocab)
+    c = np.sum(np.stack([np.asarray(x).reshape(V, V) for x in parts["c"]]), axis=0)
+    ia, ib = np.triu_indices(V, k=1)
+    n_ab = c[ia, ib]
+    nz = n_ab > 0
+    ia, ib, n_ab = ia[nz], ib[nz], n_ab[nz]
+    pmi = np.floor(
+        1e6 * np.log(n_docs * n_ab.astype(np.float64) / (c[ia, ia] * c[ib, ib]))
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "term_a": pa.array(vocab[ia], pa.string()),
+            "term_b": pa.array(vocab[ib], pa.string()),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "pmi_e6": pa.array(pmi, pa.int64()),
+        }
+    )
+
+
+SQL_PMI_PAIRS = f"""
+WITH top AS (
+  SELECT token FROM (
+    SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      FROM documents
+    ) GROUP BY token ORDER BY n DESC, token LIMIT {_PMI_V}
+  )
+),
+pres AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+    FROM documents
+  ) WHERE term IN (SELECT token FROM top)
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS d FROM pres GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_ab,
+       CAST(floor(1e6 * ln(n.n * n_ab / (da.d * db.d))) AS BIGINT) AS pmi_e6
+FROM pairs JOIN df da ON da.term = term_a JOIN df db ON db.term = term_b
+CROSS JOIN n
+"""
+
+QUERIES["q_pmi_pairs"] = (q_pmi_pairs, SQL_PMI_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization — int8 scalar quantization with corpus-global
+# per-dimension ranges (the compression step before shipping vectors to an
+# ANN index): pass 1 per-dim min/max partials (tiny: one row per batch),
+# pass 2 levels = floor(255·(x−min)/(max−min)) clamped — the identical
+# IEEE double expression on both engines.
+# --------------------------------------------------------------------------
+
+def q_embed_quantize(sf_dir: str):
+    """(vec_id, dim, q) int8 levels per embedding component (dim 1-based)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def minmax(b: pa.Table) -> pa.Table:
+        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table(
+            {
+                "lo": pa.array([m.min(axis=0).tolist()], pa.list_(pa.float64())),
+                "hi": pa.array([m.max(axis=0).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack(mm["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(mm["hi"].to_numpy()), axis=0)
+    ref = ray.put((lo, hi))
+
+    def quant(b: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        span = hi - lo
+        span[span == 0.0] = 1.0  # constant dims quantize to 0
+        q = np.floor(255.0 * (m - lo) / span)
+        q = np.clip(q, 0, 255).astype(np.int64)
+        n, d = m.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(b["vec_id"].to_numpy(zero_copy_only=False), d), pa.int64()
+                ),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), n), pa.int64()),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_EMBED_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY 1)
+SELECT vec_id, dim,
+       CAST(least(greatest(
+         floor(255.0 * (v - lo) / (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END)),
+         0), 255) AS BIGINT) AS q
+FROM x JOIN r USING (dim)
+"""
+
+QUERIES["q_embed_quantize"] = (q_embed_quantize, SQL_EMBED_QUANTIZE)
