@@ -8,7 +8,7 @@ The combine deliberately does NOT use ``Dataset.groupby().aggregate()``:
 measured on ray 2.49, its sort-based implementation spent 118 core-seconds
 combining 67k partial rows (see BASELINE.md notes) regardless of key type or
 partition count. Instead the partials are hash-bucketed on the key
-(deterministic ``hash_pandas_object``) and each bucket is combined with one
+(deterministic FNV ``hash64_array``) and each bucket is combined with one
 vectorized pandas groupby inside ``groupby(bucket).map_groups`` — n_buckets
 distributed combines, ~4× faster here and linearly scalable (n_buckets is
 derived from the cluster size via runtime.n_buckets_for; keys never
@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
+from ..functions.hashing import hash64_array
 from ..runtime import n_buckets_for
 
 AggSpec = dict[str, str]  # column -> "sum" | "min" | "max"
@@ -44,9 +46,19 @@ def combine_partials(
     n_buckets = n_buckets or n_buckets_for()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[key_cols].astype(str).agg("\x00".join, axis=1) if len(key_cols) > 1 else df[key_cols[0]], index=False)
+        # hash64_array (FNV over the Arrow string buffer), NOT
+        # pd.util.hash_pandas_object: pandas' hasher mis-hashes strings with
+        # embedded NUL bytes (observed: distinct joined keys colliding AND
+        # the same key hashing differently between batches), which split a
+        # multi-column key across buckets and broke the combine invariant.
+        key = (
+            df[key_cols].astype(str).agg("\x00".join, axis=1)
+            if len(key_cols) > 1
+            else df[key_cols[0]].astype(str)
+        )
+        h = hash64_array(pa.array(key, pa.string()))
         df = df.copy()
-        df["_b"] = (h % n_buckets).astype(np.int64)
+        df["_b"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return df
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:

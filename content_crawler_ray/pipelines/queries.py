@@ -4666,3 +4666,144 @@ FROM x JOIN r USING (dim)
 """
 
 QUERIES["q_embed_quantize"] = (q_embed_quantize, SQL_EMBED_QUANTIZE)
+
+
+# --------------------------------------------------------------------------
+# ROLLUP — multi-level aggregates (source × lang → source → grand total) in
+# ONE pass: partials at the finest grain, one bucketed combine, and the
+# coarser levels derived from the finest AGGREGATE rows (tiny) rather than
+# re-scanning the input. '(all)' sentinels instead of SQL NULLs so the
+# value-hash comparison is type-stable on both engines.
+# --------------------------------------------------------------------------
+
+def q_rollup(sf_dir: str):
+    """(source, lang, n_docs, n_tokens) at rollup levels, '(all)' = rolled."""
+    ds = _read(sf_dir, "documents", ["text", "source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_numpy(zero_copy_only=False),
+                    "lang": b["lang"].to_numpy(zero_copy_only=False),
+                    "n_docs": 1,
+                    "n_tokens": n,
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    fine = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        {"n_docs": "sum", "n_tokens": "sum"},
+    )
+
+    # rollup levels from the finest aggregate (tiny: |source|×|lang| rows)
+    def levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        by_src = df.groupby("source", as_index=False)[["n_docs", "n_tokens"]].sum()
+        by_src["lang"] = "(all)"
+        total = pd.DataFrame(
+            {
+                "source": ["(all)"],
+                "lang": ["(all)"],
+                "n_docs": [df["n_docs"].sum()],
+                "n_tokens": [df["n_tokens"].sum()],
+            }
+        )
+        out = pd.concat([df, by_src, total], ignore_index=True)
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_docs": pa.array(out["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return fine.repartition(1).map_batches(levels, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ROLLUP = """
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n
+  FROM documents
+)
+SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY ROLLUP (source, lang)
+"""
+
+QUERIES["q_rollup"] = (q_rollup, SQL_ROLLUP)
+
+
+# --------------------------------------------------------------------------
+# Global percent rank — each doc's rank among all docs by token count
+# (rank = 1 + #docs with strictly smaller count, SQL rank() semantics)
+# WITHOUT a global sort: the value-count histogram (distinct counts << rows)
+# broadcasts as a cumulative table and each batch looks its ranks up with
+# one searchsorted. The distributed form of a window function over the
+# whole table.
+# --------------------------------------------------------------------------
+
+def q_percent_rank(sf_dir: str):
+    """(doc_id, n_tokens, rnk) — global rank by token count, ties share."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        v, c = np.unique(n, return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v")["c"]
+        .sum()
+        .sort_index()
+    )
+    vals = hist.index.to_numpy()
+    below = np.concatenate(([0], hist.cumsum().to_numpy()[:-1]))  # strictly smaller
+    ref = ray.put((vals, below))
+
+    def rank(b: pa.Table) -> pa.Table:
+        vals, below = ray.get(ref)
+        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+        r = below[np.searchsorted(vals, n)] + 1
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "rnk": pa.array(r.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+SQL_PERCENT_RANK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(rank() OVER (ORDER BY n_tokens) AS BIGINT) AS rnk
+FROM t
+"""
+
+QUERIES["q_percent_rank"] = (q_percent_rank, SQL_PERCENT_RANK)

@@ -58,3 +58,28 @@ def test_pack_sequences_bins_monotone(ray_session, sf_dir):
     excl = df["n_tokens"].to_numpy().cumsum() - df["n_tokens"].to_numpy()
     assert np.array_equal(bins, excl // _PACK_BUDGET)
     assert bins.max() >= 2  # the fixture actually spans several bins
+
+
+def test_combine_partials_multi_key_nul_safe(ray_session):
+    # regression: pandas' hash_pandas_object mis-hashes strings with embedded
+    # NUL bytes (the multi-key join separator), splitting one key across
+    # buckets; the FNV bucket hash must keep every (a,b) key in ONE bucket
+    import pyarrow as pa
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.agg import combine_partials
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", "y"] * 6, pa.string()),
+            "b": pa.array(["p", "q", "p", "q"] * 6, pa.string()),
+            "n": pa.array([1] * 24, pa.int64()),
+        }
+    )
+    out = (
+        combine_partials(rd.from_arrow(t).repartition(8), ["a", "b"], {"n": "sum"})
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4 and (out["n"] == 6).all()
