@@ -4807,3 +4807,69 @@ FROM t
 """
 
 QUERIES["q_percent_rank"] = (q_percent_rank, SQL_PERCENT_RANK)
+
+
+# --------------------------------------------------------------------------
+# Per-group HLL distinct — the group-granular form of q_hll_distinct
+# (approximate users per event_type when the per-group value sets are too
+# big for the exact pair shuffle of q_group_distinct): one sketch row per
+# (event_type, batch), merged by register-max in a bucketed combine.
+# Rows-only by nature; pinned by the oracle-green exact twin
+# q_group_distinct and an accuracy pytest (<5% on every group).
+# --------------------------------------------------------------------------
+
+def q_group_hll(sf_dir: str):
+    """(event_type, n_users_hll) — approximate distinct users per type."""
+    from ..functions.sketch import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_buckets = n_buckets_for()
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        types, inv = np.unique(et, return_inverse=True)
+        rows, sk = [], []
+        for i, t in enumerate(types):  # |types| is small; inner add is vectorized
+            h = HyperLogLog(12)
+            h.add_hashes(splitmix64(u[inv == i]))
+            rows.append(t)
+            sk.append(h.to_bytes())
+        tt = pa.array(rows, pa.string())
+        return pa.table(
+            {
+                "event_type": tt,
+                "sketch": pa.array(sk, pa.binary()),
+                "_b": pa.array(
+                    (hash64_array(tt) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge_est(g: pd.DataFrame) -> pa.Table:
+        from ..functions.sketch import HyperLogLog
+
+        types, ests = [], []
+        for t, grp in g.groupby("event_type"):
+            h = None
+            for raw in grp["sketch"]:
+                x = HyperLogLog.from_bytes(raw)
+                h = x if h is None else h.merge(x)
+            types.append(t)
+            ests.append(int(round(h.estimate())))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_users_hll": pa.array(ests, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge_est, batch_format="pandas")
+    )
+
+
+QUERIES["q_group_hll"] = (q_group_hll, None)

@@ -84,3 +84,13 @@ def test_cms_kernel_merge_equals_single_pass():
     # exact when there are no collisions in a tiny workload
     tiny = CountMinSketch().add_hashes(h[:3], np.array([5, 7, 9]))
     assert np.array_equal(tiny.estimate(h[:3]), np.array([5, 7, 9]))
+
+
+def test_group_hll_within_five_pct_of_exact(ray_session, sf_dir):
+    from content_crawler_ray.pipelines.queries import q_group_distinct, q_group_hll
+
+    exact = q_group_distinct(sf_dir).to_pandas().set_index("event_type")["n_users"]
+    hll = q_group_hll(sf_dir).to_pandas().set_index("event_type")["n_users_hll"]
+    assert set(hll.index) == set(exact.index)
+    rel = (hll - exact).abs() / exact
+    assert (rel < 0.05).all(), rel.to_dict()
