@@ -4873,3 +4873,36 @@ def q_group_hll(sf_dir: str):
 
 
 QUERIES["q_group_hll"] = (q_group_hll, None)
+
+
+# --------------------------------------------------------------------------
+# Unicode text normalization — the canonical pre-tokenization cleanup
+# (accent folding → lowercase → whitespace collapse), T12's string-kernel
+# family deepened to full Unicode. The Arrow form (NFD normalize + remove
+# \p{Mn} + utf8_lower + regex collapse) was verified char-for-char against
+# DuckDB's strip_accents/lower on diacritics, İ, Å, ø/æ carriers AND
+# compatibility chars (ﬁ, ²) — NFD, not NFKD, is the semantics twin.
+# --------------------------------------------------------------------------
+
+def q_text_normalize(sf_dir: str):
+    """(doc_id, norm) — accent-folded, lowercased, space-collapsed text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        x = pc.utf8_normalize(b["text"], "NFD")
+        x = pc.replace_substring_regex(x, r"\p{Mn}", "")
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({"doc_id": b["doc_id"], "norm": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(strip_accents(text)), '\\s+', ' ', 'g')) AS norm
+FROM documents
+"""
+
+QUERIES["q_text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)
