@@ -4906,3 +4906,152 @@ FROM documents
 """
 
 QUERIES["q_text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram — the value-distribution profile (the same partial
+# shape that powers q_quantile_exact, surfaced as a product): per-batch
+# bucket counts, bucketed combine, no values cross the wire.
+# --------------------------------------------------------------------------
+
+_HIST_W = 100_000  # cents per bucket ($1000)
+
+
+def q_histogram(sf_dir: str):
+    """(bucket_lo_cents, n) histogram of l_extendedprice."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bk = (cents // _HIST_W) * _HIST_W
+        v, c = np.unique(bk, return_counts=True)
+        return pa.table(
+            {
+                "bucket_lo_cents": pa.array(v, pa.int64()),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket_lo_cents"],
+        {"n": "sum"},
+    )
+
+
+SQL_HISTOGRAM = f"""
+SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) // {_HIST_W}) * {_HIST_W}
+         AS bucket_lo_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["q_histogram"] = (q_histogram, SQL_HISTOGRAM)
+
+
+# --------------------------------------------------------------------------
+# Column profiler — the per-column data-quality summary an ingestion
+# pipeline runs first (null counts, distinct counts, length ranges), as one
+# pass of per-batch partials: null/len extremes sum/min/max trivially;
+# distinct via per-batch unique-set hashes deduped in the tiny combine
+# (exact because the VALUE HASHES ride the shuffle, not the values).
+# --------------------------------------------------------------------------
+
+def q_profile_docs(sf_dir: str):
+    """(column, n_null, n_distinct, min_len, max_len) over documents."""
+    cols = ["text", "lang", "source"]
+    ds = _read(sf_dir, "documents", cols)
+    n_buckets = n_buckets_for()
+
+    def partial(b: pa.Table) -> pa.Table:
+        out_c, out_h = [], []
+        stats = []
+        for c in cols:
+            arr = b[c]
+            nn = int(pc.count(arr, mode="only_null").as_py())
+            ln = pc.utf8_length(pc.drop_null(arr)).to_numpy(zero_copy_only=False)
+            vals = pc.drop_null(arr).unique()
+            h = np.unique(hash64_array(vals))
+            out_c.extend([c] * len(h))
+            out_h.extend(h.tolist())
+            stats.append(
+                (c, nn, int(ln.min()) if len(ln) else 0, int(ln.max()) if len(ln) else 0)
+            )
+        hashes = pa.table(
+            {
+                "column": pa.array(out_c, pa.string()),
+                "h": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
+                "kind": pa.array(np.zeros(len(out_c), np.int8), pa.int8()),
+                "n_null": pa.array(np.zeros(len(out_c), np.int64), pa.int64()),
+                "min_len": pa.array(np.zeros(len(out_c), np.int64), pa.int64()),
+                "max_len": pa.array(np.zeros(len(out_c), np.int64), pa.int64()),
+            }
+        )
+        st = pa.table(
+            {
+                "column": pa.array([s[0] for s in stats], pa.string()),
+                "h": pa.array(np.zeros(len(stats), np.uint64), pa.uint64()),
+                "kind": pa.array(np.ones(len(stats), np.int8), pa.int8()),
+                "n_null": pa.array([s[1] for s in stats], pa.int64()),
+                "min_len": pa.array([s[2] for s in stats], pa.int64()),
+                "max_len": pa.array([s[3] for s in stats], pa.int64()),
+            }
+        )
+        t = pa.concat_tables([hashes, st])
+        hb = hash64_array(t["column"])
+        return t.append_column(
+            "_b", pa.array((hb % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for c, grp in g.groupby("column"):
+            hs = grp[grp["kind"] == 0]["h"]
+            st = grp[grp["kind"] == 1]
+            rows.append(
+                (
+                    c,
+                    int(st["n_null"].sum()),
+                    int(hs.nunique()),
+                    int(st["min_len"].min()),
+                    int(st["max_len"].max()),
+                )
+            )
+        return pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.string()),
+                "n_null": pa.array([r[1] for r in rows], pa.int64()),
+                "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+                "min_len": pa.array([r[3] for r in rows], pa.int64()),
+                "max_len": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+SQL_PROFILE_DOCS = """
+SELECT * FROM (
+  SELECT 'text' AS column, CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+         CAST(min(length(text)) AS BIGINT) AS min_len,
+         CAST(max(length(text)) AS BIGINT) AS max_len
+  FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(count(*) FILTER (lang IS NULL) AS BIGINT),
+         CAST(count(DISTINCT lang) AS BIGINT),
+         CAST(min(length(lang)) AS BIGINT), CAST(max(length(lang)) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'source', CAST(count(*) FILTER (source IS NULL) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST(min(length(source)) AS BIGINT), CAST(max(length(source)) AS BIGINT)
+  FROM documents
+)
+"""
+
+QUERIES["q_profile_docs"] = (q_profile_docs, SQL_PROFILE_DOCS)
