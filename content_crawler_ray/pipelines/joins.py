@@ -91,3 +91,72 @@ def bucketed_inner_join(
         return joined.select(out_cols).combine_chunks()
 
     return tagged.groupby("_b").map_groups(merge, batch_format="pyarrow")
+
+
+# broadcast threshold: right side ships to every map task once (via the
+# object store), so it must fit comfortably in a worker heap; rows is the
+# proxy the planner can get for free from parquet metadata / count()
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def broadcast_inner_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+) -> rd.Dataset:
+    """Inner equi-join with the RIGHT side broadcast (ray.put once, read in
+    every task — never re-shipped per batch). Output: left columns + right
+    payload columns. Right key must be unique (dimension-table shape)."""
+    import ray
+
+    rt = right.to_pandas().set_index(right_on)
+    assert rt.index.is_unique, "broadcast join right key must be unique"
+    ref = ray.put(rt[right_cols])
+
+    def fn(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = ray.get(ref)
+        keys = b[left_on].to_numpy(zero_copy_only=False)
+        hit = pd.Index(keys).isin(lookup.index)
+        b = b.filter(pa.array(hit))
+        sub = lookup.loc[keys[hit]]
+        out = b
+        for c in right_cols:
+            out = out.append_column(c, pa.array(sub[c].to_numpy()))
+        return out
+
+    return left.map_batches(fn, batch_format="pyarrow")
+
+
+def auto_inner_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    left_schema: dict[str, pa.DataType],
+    right_schema: dict[str, pa.DataType],
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> rd.Dataset:
+    """Strategy-picking join: broadcast the right side when its row count
+    (free from parquet metadata) is under ``broadcast_max_rows`` — no
+    shuffle touches the left side — else fall back to the bucketed
+    all-to-all join. The J6 three-strategy choice, automated."""
+    n_right = right.count()
+    right_payload = [c for c in right_schema if c != right_on]
+    if n_right <= broadcast_max_rows:
+        return broadcast_inner_join(
+            left, right, left_on=left_on, right_on=right_on, right_cols=right_payload
+        )
+    return bucketed_inner_join(
+        left,
+        right,
+        left_on=left_on,
+        right_on=right_on,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )

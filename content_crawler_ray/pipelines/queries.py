@@ -5055,3 +5055,56 @@ SELECT * FROM (
 """
 
 QUERIES["q_profile_docs"] = (q_profile_docs, SQL_PROFILE_DOCS)
+
+
+# --------------------------------------------------------------------------
+# J6 fourth strategy — the AUTOMATIC join planner (joins.auto_inner_join):
+# right-side row count (free from parquet metadata) picks broadcast when it
+# fits a worker heap, bucketed all-to-all otherwise. Same oracle as the
+# three manual strategies, so the planner's both branches are pinned (the
+# parity test drives the other branch explicitly).
+# --------------------------------------------------------------------------
+
+def q_j6_auto_join(sf_dir: str):
+    from .joins import auto_inner_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.round(
+            pc.multiply(rev, pa.scalar(100.0)), round_mode="half_towards_infinity"
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev_cents": pc.cast(cents, pa.int64())}
+        )
+
+    joined = auto_inner_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema={"l_orderkey": pa.int64(), "rev_cents": pa.int64()},
+        right_schema={"o_orderkey": pa.int64(), "o_orderstatus": pa.large_string()},
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"].to_pandas(),
+                "rev_cents": b["rev_cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("o_orderstatus", as_index=False).agg(
+            n_items=("rev_cents", "size"), revenue_cents=("rev_cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        {"n_items": "sum", "revenue_cents": "sum"},
+    )
+
+
+QUERIES["q_j6_auto_join"] = (q_j6_auto_join, SQL_J6)

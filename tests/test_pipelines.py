@@ -788,3 +788,34 @@ def test_dedup_survivors_keeps_representatives(ray_session, monkeypatch):
     out = Q.q_dedup_survivors("ignored").to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [1, 2, 3, 4, 6, 7, 8, 10, 12]
     assert (out["component"] == out["doc_id"]).all()
+
+
+def test_auto_join_strategies_agree(ray_session, sf_dir):
+    """broadcast and bucketed paths of auto_inner_join return the same rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.joins import auto_inner_join
+
+    left = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    right = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    ls = {"o_orderkey": pa.int64(), "o_custkey": pa.int64()}
+    rs = {"c_custkey": pa.int64(), "c_name": pa.string()}
+
+    def run(threshold):
+        return (
+            auto_inner_join(
+                left, right, left_on="o_custkey", right_on="c_custkey",
+                left_schema=ls, right_schema=rs, broadcast_max_rows=threshold,
+            )
+            .to_pandas()
+            .sort_values(["o_orderkey"])
+            .reset_index(drop=True)[["o_orderkey", "o_custkey", "c_name"]]
+        )
+
+    wide = run(10**9)   # broadcast path
+    narrow = run(0)     # bucketed path
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(wide, narrow)
+    assert len(wide) > 0
