@@ -72,6 +72,18 @@ def _done(path: str) -> str:
     return path.rstrip("/") + "._DONE"
 
 
+def _ensure_parquet_dir(path: str, schema: dict) -> None:
+    """A zero-row write_parquet creates NOTHING; downstream readers need a
+    typed empty file so the all-filtered funnel degrades to empty outputs
+    instead of FileNotFoundError."""
+    if not os.path.isdir(path):
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        empty = pa.table({c: pa.array([], t) for c, t in schema.items()})
+        pq.write_table(empty, os.path.join(path, "empty.parquet"))
+
+
 def _quality_threshold(ds: rd.Dataset, pct: int) -> int:
     """pct-th percentile of token counts via value-count partials (the
     q_quality_filter order-statistic select; never collects values)."""
@@ -133,6 +145,7 @@ def curate_corpus(
             ds.map_batches(lang_quality, batch_format="pyarrow")
         ).select_columns(["doc_id", "text"])
         deduped.write_parquet(clean_dir)
+        _ensure_parquet_dir(clean_dir, {"doc_id": pa.int64(), "text": pa.string()})
         open(_done(clean_dir), "w").write("ok")
 
     clean_glob = clean_dir  # read_parquet accepts the directory
@@ -152,11 +165,14 @@ def curate_corpus(
                 batch_format="pyarrow",
             )
         ).to_pandas()
-        drop = np.sort(
-            comp.loc[comp["node"] != comp["component"], "node"]
-            .to_numpy()
-            .astype(np.int64)
-        )
+        if comp.empty or "node" not in comp.columns:  # no near-dup pairs at all
+            drop = np.array([], dtype=np.int64)
+        else:
+            drop = np.sort(
+                comp.loc[comp["node"] != comp["component"], "node"]
+                .to_numpy()
+                .astype(np.int64)
+            )
         ray.get(counter.add.remote("minhash_dropped", len(drop)))
 
         # ---- stage C: decontaminate + drop non-survivors → docs/ + plan/ ----
@@ -167,11 +183,11 @@ def curate_corpus(
                 {"h": pa.array(_gram_hashes(b.filter(pa.array(m)))[1], pa.uint64())}
             )
 
-        bset = np.unique(
-            clean.map_batches(bench_grams, batch_format="pyarrow")
-            .to_pandas()["h"]
-            .to_numpy()
-            .astype(np.uint64)
+        bg = clean.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+        bset = (
+            np.unique(bg["h"].to_numpy().astype(np.uint64))
+            if "h" in bg.columns and len(bg)
+            else np.array([], dtype=np.uint64)
         )
         refs = ray.put((bset, drop))
 
@@ -193,6 +209,10 @@ def curate_corpus(
             return b.append_column("n_tokens", T.token_counts(b["text"]))
 
         clean.map_batches(final_filter, batch_format="pyarrow").write_parquet(docs_dir)
+        _ensure_parquet_dir(
+            docs_dir,
+            {"doc_id": pa.int64(), "text": pa.string(), "n_tokens": pa.int64()},
+        )
         open(_done(docs_dir), "w").write("ok")
 
     if not os.path.exists(_done(plan_dir)):
@@ -211,12 +231,16 @@ def curate_corpus(
             )
 
         run.map_batches(binify, batch_format="pyarrow").write_parquet(plan_dir)
+        _ensure_parquet_dir(
+            plan_dir,
+            {"doc_id": pa.int64(), "n_tokens": pa.int64(), "bin": pa.int64()},
+        )
         open(_done(plan_dir), "w").write("ok")
 
     metrics = ray.get(counter.get.remote())
     metrics["n_clean"] = rd.read_parquet(clean_glob).count()  # parquet metadata
-    plan = rd.read_parquet(plan_dir, columns=["bin"])
-    metrics["n_bins"] = int(plan.to_pandas()["bin"].nunique())
+    plan = rd.read_parquet(plan_dir, columns=["bin"]).to_pandas()
+    metrics["n_bins"] = int(plan["bin"].nunique()) if "bin" in plan.columns else 0
     return metrics
 
 

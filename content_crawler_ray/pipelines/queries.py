@@ -5108,3 +5108,164 @@ def q_j6_auto_join(sf_dir: str):
 
 
 QUERIES["q_j6_auto_join"] = (q_j6_auto_join, SQL_J6)
+
+
+# --------------------------------------------------------------------------
+# Co-group — per-key aggregates from TWO tables in ONE shuffle (the Spark
+# cogroup primitive): orders and lineitem rows ride the same key-bucketed
+# exchange tagged by side; each bucket computes both sides' aggregates and
+# aligns them with an outer merge, so neither table is joined row-to-row.
+# SQL twin: two pre-aggregates FULL JOINed.
+# --------------------------------------------------------------------------
+
+def q_cogroup(sf_dir: str):
+    """(o_custkey, n_orders, total_cents, n_items) — both sides one shuffle."""
+    n_buckets = n_buckets_for()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    # lineitem has no custkey — derive it the same deterministic way on both
+    # sides: custkey of an item = its order's custkey via a broadcast of the
+    # (small) orderkey→custkey map
+    omap = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
+    omap = omap.sort_values("o_orderkey")
+    keys = omap["o_orderkey"].to_numpy()
+    custs = omap["o_custkey"].to_numpy()
+    ref = ray.put((keys, custs))
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "cents": _cents(b["o_totalprice"]),
+                "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                "_b": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def l_rows(b: pa.Table) -> pa.Table:
+        keys, custs = ray.get(ref)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        k = custs[np.searchsorted(keys, ok)].astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "cents": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+                "_b": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def cg(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0].groupby("k").agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+        l = g[g["side"] == 1].groupby("k").size().rename("n_items")
+        out = o.join(l, how="outer").fillna(0).reset_index()
+        return pa.table(
+            {
+                "o_custkey": pa.array(out["k"].to_numpy().astype(np.int64), pa.int64()),
+                "n_orders": pa.array(out["n_orders"].to_numpy().astype(np.int64), pa.int64()),
+                "total_cents": pa.array(out["total_cents"].to_numpy().astype(np.int64), pa.int64()),
+                "n_items": pa.array(out["n_items"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(o_rows, batch_format="pyarrow")
+        .union(li.map_batches(l_rows, batch_format="pyarrow"))
+        .groupby("_b")
+        .map_groups(cg, batch_format="pandas")
+    )
+
+
+SQL_COGROUP = """
+WITH o AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey GROUP BY 1
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.total_cents, 0) AS total_cents,
+       coalesce(l.n_items, 0) AS n_items
+FROM o FULL JOIN l USING (o_custkey)
+"""
+
+QUERIES["q_cogroup"] = (q_cogroup, SQL_COGROUP)
+
+
+# --------------------------------------------------------------------------
+# Per-group exact-k sample — "k examples per class" (few-shot/eval set
+# construction): rank rows inside each group by the deterministic Knuth
+# hash and keep the k smallest; one key-bucketed shuffle, vectorized
+# cumcount per bucket. row_number-over-hash SQL twin.
+# --------------------------------------------------------------------------
+
+_GROUP_SAMPLE_K = 5
+
+
+def q_group_sample(sf_dir: str):
+    """(event_type, event_id) — exactly k=5 per type, hash-deterministic."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+    n_buckets = n_buckets_for()
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        return pa.table(
+            {
+                "event_type": et,
+                "event_id": b["event_id"],
+                "_h": pa.array(
+                    (b["event_id"].to_numpy(zero_copy_only=False) * 2654435761)
+                    % 2**63,
+                    pa.int64(),
+                ),
+                "_b": pa.array(
+                    (hash64_array(et) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["event_type", "_h", "event_id"], kind="mergesort")
+        r = g.groupby("event_type").cumcount()
+        keep = (r < _GROUP_SAMPLE_K).to_numpy()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy()[keep], pa.string()),
+                "event_id": pa.array(g["event_id"].to_numpy()[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+SQL_GROUP_SAMPLE = f"""
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * 2654435761) % 9223372036854775808, event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= {_GROUP_SAMPLE_K}
+"""
+
+QUERIES["q_group_sample"] = (q_group_sample, SQL_GROUP_SAMPLE)

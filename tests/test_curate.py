@@ -79,3 +79,28 @@ def test_make_documents_deterministic_with_planted_dups():
     pred = langid(a["text"].head(200))
     agree = (pred.to_numpy() == a["lang"].head(200).to_numpy()).mean()
     assert agree > 0.95
+
+
+def test_curate_all_filtered_degrades_to_empty(ray_session, tmp_path):
+    """An input the language filter fully rejects yields empty (not crashed)
+    products: typed empty parquet at every stage boundary, zero bins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["der und das text", "le et les texte", "el y los texto"],
+                pa.string(),
+            ),
+            "lang": pa.array(["de", "fr", "es"], pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    out = str(tmp_path / "out")
+    m = curate_corpus(str(tmp_path), out)
+    assert m["lang_kept"] == 0 and m["n_clean"] == 0 and m["n_bins"] == 0
+    assert read_plan(out).count() == 0
