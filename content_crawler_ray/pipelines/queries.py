@@ -5269,3 +5269,103 @@ SELECT event_type, event_id FROM (
 """
 
 QUERIES["q_group_sample"] = (q_group_sample, SQL_GROUP_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# Bigram LM scoring — the next-order LM quality signal after
+# q_unigram_logprob: score(doc) = Σ_bigrams floor(1e6·ln(c2(w1,w2)/c1(w1))).
+# Two shuffles only: bucketing by w1 co-locates EVERYTHING needed for both
+# count tables (c1(w1) = Σ tf over the w1 group, c2 = Σ tf per (w1,w2)) so
+# conditional probabilities attach in one map_groups; a doc-bucketed sum
+# finishes. At 100 TB the bigram vocabulary never materializes anywhere —
+# it exists only sharded across the w1 buckets.
+# --------------------------------------------------------------------------
+
+def q_bigram_logprob(sf_dir: str):
+    """(doc_id, n_bigrams, logprob_e6) — corpus-bigram LM score per doc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = n_buckets_for()
+
+    def bigram_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_all = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat_all != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        flat = flat_all[keep]
+        # bigram = consecutive tokens within the same doc
+        same = row_of[1:] == row_of[:-1]
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)[row_of[:-1][same]]
+        w1, w2 = flat[:-1][same], flat[1:][same]
+        g = (
+            pd.DataFrame({"doc_id": doc, "w1": w1, "w2": w2})
+            .groupby(["doc_id", "w1", "w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        h = hash64_array(pa.array(g["w1"], pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "w1": pa.array(g["w1"], pa.string()),
+                "w2": pa.array(g["w2"], pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "_b": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def attach_lp(g: pd.DataFrame) -> pa.Table:
+        c1 = g.groupby("w1")["tf"].sum()
+        c2 = g.groupby(["w1", "w2"])["tf"].sum()
+        c1v = g["w1"].map(c1).to_numpy().astype(np.float64)
+        c2v = pd.MultiIndex.from_frame(g[["w1", "w2"]]).map(c2).to_numpy().astype(np.float64)
+        lp = np.floor(1e6 * np.log(c2v / c1v)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n_bigrams": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "lp": pa.array(g["tf"].to_numpy().astype(np.int64) * lp, pa.int64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(bigram_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(attach_lp, batch_format="pandas")
+    )
+    out = combine_partials(
+        scored, ["doc_id"], {"n_bigrams": "sum", "lp": "sum"}
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": b["n_bigrams"],
+                "logprob_e6": b["lp"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       sum(CAST(floor(1e6 * ln(c2 / c1)) AS BIGINT)) AS logprob_e6
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY 1
+"""
+
+QUERIES["q_bigram_logprob"] = (q_bigram_logprob, SQL_BIGRAM_LOGPROB)
