@@ -129,6 +129,11 @@ class CountMinSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes, w: int = 4096, d: int = 4) -> "CountMinSketch":
+        if len(data) != d * w * 8:
+            raise ValueError(
+                f"CountMinSketch payload is {len(data)} bytes, expected d={d}×w={w}"
+                "×8 — geometry mismatch would silently corrupt estimates"
+            )
         s = cls(w, d)
         s.table = np.frombuffer(data, dtype=np.int64).reshape(d, w).copy()
         return s

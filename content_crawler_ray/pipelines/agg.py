@@ -72,3 +72,29 @@ def combine_partials(
         .groupby("_b")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def value_count_threshold(ds: rd.Dataset, batch_values_fn, pct: int) -> int:
+    """The pct-th-percentile value of ``batch_values_fn(batch) -> int array``
+    without sorting or collecting values: per-batch value-count partials
+    (distinct values << rows), tiny driver combine, then DuckDB's
+    ``quantile_disc`` order statistic k = ceil(pct·n/100) − 1. Shared by
+    q_quality_filter and the curation pipeline."""
+    import pyarrow as pa_
+
+    def hist_partial(b) -> "pa_.Table":
+        v, c = np.unique(batch_values_fn(b), return_counts=True)
+        return pa_.table(
+            {"v": pa_.array(v, pa_.int64()), "c": pa_.array(c, pa_.int64())}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v")["c"]
+        .sum()
+        .sort_index()
+    )
+    n_total = int(hist.sum())
+    k = max(0, -(-pct * n_total // 100) - 1)
+    return int(hist.index.to_numpy()[np.searchsorted(hist.cumsum().to_numpy(), k + 1)])

@@ -62,6 +62,10 @@ class _CurateCounter:
     def add(self, stage: str, n: int) -> None:
         self.counts[stage] = self.counts.get(stage, 0) + int(n)
 
+    def add_many(self, counts: dict) -> None:
+        for stage, n in counts.items():
+            self.counts[stage] = self.counts.get(stage, 0) + int(n)
+
     def get(self) -> dict:
         return dict(self.counts)
 
@@ -70,6 +74,18 @@ def _done(path: str) -> str:
     # sibling marker, NOT inside the directory — read_parquet(dir) must see
     # only parquet files
     return path.rstrip("/") + "._DONE"
+
+
+def _fresh_stage_dir(path: str) -> None:
+    """A stage dir WITHOUT its _DONE marker is a crashed partial write —
+    Ray's write_parquet uses unique per-run filenames, so re-running the
+    stage on top of leftovers would APPEND a second copy of every row.
+    Resume semantics: finished stages (marker present) are skipped by the
+    caller; unfinished ones start from a clean directory."""
+    import shutil
+
+    if os.path.isdir(path) and not os.path.exists(_done(path)):
+        shutil.rmtree(path)
 
 
 def _ensure_parquet_dir(path: str, schema: dict) -> None:
@@ -85,24 +101,14 @@ def _ensure_parquet_dir(path: str, schema: dict) -> None:
 
 
 def _quality_threshold(ds: rd.Dataset, pct: int) -> int:
-    """pct-th percentile of token counts via value-count partials (the
-    q_quality_filter order-statistic select; never collects values)."""
+    """pct-th percentile of token counts — the shared order-statistic
+    select (agg.value_count_threshold), so this and q_quality_filter can
+    never drift from the quantile_disc SQL twin."""
+    from .agg import value_count_threshold
 
-    def hist_partial(b: pa.Table) -> pa.Table:
-        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
-        v, c = np.unique(n, return_counts=True)
-        return pa.table({"v": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())})
-
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("v")["c"]
-        .sum()
-        .sort_index()
+    return value_count_threshold(
+        ds, lambda b: T.token_counts(b["text"]).to_numpy(zero_copy_only=False), pct
     )
-    n_total = int(hist.sum())
-    k = max(0, -(-pct * n_total // 100) - 1)
-    return int(hist.index.to_numpy()[np.searchsorted(hist.cumsum().to_numpy(), k + 1)])
 
 
 def curate_corpus(
@@ -117,7 +123,7 @@ def curate_corpus(
     from .cc import connected_components
     from .dedup import exact_dedup_first, minhash_verified_pairs
     from .queries import _gram_hashes
-    from .scan import prefix_sum
+    from .scan import pack_bins, prefix_sum
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     clean_dir = os.path.join(out_dir, "clean")
@@ -127,18 +133,24 @@ def curate_corpus(
 
     # ---- stage A: lang + quality filter (fused) → exact dedup → clean/ ----
     if not os.path.exists(_done(clean_dir)):
+        _fresh_stage_dir(clean_dir)
         ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
         threshold = _quality_threshold(ds, quality_pct)
 
         def lang_quality(b: pa.Table) -> pa.Table:
-            ray.get(counter.add.remote("input", b.num_rows))
+            n_in = b.num_rows
             lang = T.langid(pd.Series(b["text"].to_numpy(zero_copy_only=False)))
             keep = (lang == keep_lang).to_numpy()
-            ray.get(counter.add.remote("lang_kept", int(keep.sum())))
             b = b.filter(pa.array(keep))
             n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
             b = b.filter(pa.array(n >= threshold))
-            ray.get(counter.add.remote("quality_kept", b.num_rows))
+            # ONE blocking actor call per batch (not three): exact counts
+            # without serializing every map task through three round-trips
+            ray.get(
+                counter.add_many.remote(
+                    {"input": n_in, "lang_kept": int(keep.sum()), "quality_kept": b.num_rows}
+                )
+            )
             return b
 
         deduped = exact_dedup_first(
@@ -151,6 +163,7 @@ def curate_corpus(
     clean_glob = clean_dir  # read_parquet accepts the directory
     clean = rd.read_parquet(clean_glob, columns=["doc_id", "text"])
     if not os.path.exists(_done(docs_dir)):
+        _fresh_stage_dir(docs_dir)
         # ---- stage B: MinHash survivor drop set over clean/ (only needed
         # when stage C must still run) ----
         pairs = minhash_verified_pairs(clean_glob, threshold=minhash_threshold)
@@ -199,13 +212,15 @@ def curate_corpus(
             contaminated = np.zeros(b.num_rows, dtype=bool)
             if len(h):
                 np.logical_or.at(contaminated, doc_idx, np.isin(h, bset))
-            ray.get(
-                counter.add.remote("contaminated_dropped", int((keep & contaminated).sum()))
-            )
+            n_contam = int((keep & contaminated).sum())
             keep &= ~contaminated
             keep &= ~np.isin(ids, drop)
             b = b.filter(pa.array(keep))
-            ray.get(counter.add.remote("final_kept", b.num_rows))
+            ray.get(
+                counter.add_many.remote(
+                    {"contaminated_dropped": n_contam, "final_kept": b.num_rows}
+                )
+            )
             return b.append_column("n_tokens", T.token_counts(b["text"]))
 
         clean.map_batches(final_filter, batch_format="pyarrow").write_parquet(docs_dir)
@@ -216,21 +231,10 @@ def curate_corpus(
         open(_done(docs_dir), "w").write("ok")
 
     if not os.path.exists(_done(plan_dir)):
+        _fresh_stage_dir(plan_dir)
         kept = rd.read_parquet(docs_dir, columns=["doc_id", "n_tokens"])
         run = prefix_sum(kept, "doc_id", "n_tokens", out_col="_run")
-
-        def binify(b: pa.Table) -> pa.Table:
-            r = b["_run"].to_numpy(zero_copy_only=False)
-            t = b["n_tokens"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "doc_id": b["doc_id"],
-                    "n_tokens": b["n_tokens"],
-                    "bin": pa.array((r - t) // pack_budget, pa.int64()),
-                }
-            )
-
-        run.map_batches(binify, batch_format="pyarrow").write_parquet(plan_dir)
+        pack_bins(run, pack_budget).write_parquet(plan_dir)
         _ensure_parquet_dir(
             plan_dir,
             {"doc_id": pa.int64(), "n_tokens": pa.int64(), "bin": pa.int64()},

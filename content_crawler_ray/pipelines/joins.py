@@ -146,6 +146,8 @@ def auto_inner_join(
     (free from parquet metadata) is under ``broadcast_max_rows`` — no
     shuffle touches the left side — else fall back to the bucketed
     all-to-all join. The J6 three-strategy choice, automated."""
+    right = right.materialize()  # ONE execution: count() below is metadata,
+    # and whichever strategy wins re-reads blocks, not the upstream plan
     n_right = right.count()
     right_payload = [c for c in right_schema if c != right_on]
     if n_right <= broadcast_max_rows:

@@ -3336,7 +3336,7 @@ _PACK_BUDGET = 512  # tokens per packed sequence
 
 def q_pack_sequences(sf_dir: str):
     """(doc_id, n_tokens, bin) — token-budget packing in doc_id order."""
-    from .scan import prefix_sum
+    from .scan import pack_bins, prefix_sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -3349,19 +3349,7 @@ def q_pack_sequences(sf_dir: str):
         val_col="n_tokens",
         out_col="_run",
     )
-
-    def binify(b: pa.Table) -> pa.Table:
-        run = b["_run"].to_numpy(zero_copy_only=False)
-        tok = b["n_tokens"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "n_tokens": b["n_tokens"],
-                "bin": pa.array((run - tok) // _PACK_BUDGET, pa.int64()),
-            }
-        )
-
-    return run.map_batches(binify, batch_format="pyarrow")
+    return pack_bins(run, _PACK_BUDGET)
 
 
 SQL_PACK_SEQUENCES = f"""
@@ -3850,25 +3838,12 @@ QUERIES["q_phash_survivors"] = (q_phash_survivors, SQL_PHASH_SURVIVORS)
 
 def q_quality_filter(sf_dir: str):
     """(doc_id, n_tokens) of docs with n_tokens >= global p90."""
+    from .agg import value_count_threshold
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def hist_partial(b: pa.Table) -> pa.Table:
-        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
-        v, c = np.unique(n, return_counts=True)
-        return pa.table(
-            {"v": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())}
-        )
-
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("v")["c"]
-        .sum()
-        .sort_index()
+    threshold = value_count_threshold(
+        ds, lambda b: T.token_counts(b["text"]).to_numpy(zero_copy_only=False), 90
     )
-    n_total = int(hist.sum())
-    k = max(0, -(-9 * n_total // 10) - 1)  # ceil(0.9·n) − 1
-    threshold = int(hist.index.to_numpy()[np.searchsorted(hist.cumsum().to_numpy(), k + 1)])
 
     def keep(b: pa.Table) -> pa.Table:
         n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
@@ -4368,7 +4343,7 @@ def q_source_mix(sf_dir: str):
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = b["source"].to_numpy(zero_copy_only=False)
         r = pd.Series(src).map(rates).to_numpy().astype(np.int64)
-        m = (ids * 2654435761) % 1000 < r
+        m = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1000) < r.astype(np.uint64)
         n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -4691,9 +4666,13 @@ def q_rollup(sf_dir: str):
                     "n_tokens": n,
                 }
             )
-            .groupby(["source", "lang"], as_index=False)
+            .groupby(["source", "lang"], as_index=False, dropna=False)
             .sum()
         )
+        # NULL keys survive as their own group ('(null)'), distinct from the
+        # rollup '(all)' sentinel — GROUPING() disambiguates on the SQL side
+        g["source"] = g["source"].fillna("(null)")
+        g["lang"] = g["lang"].fillna("(null)")
         return pa.table(
             {
                 "source": pa.array(g["source"], pa.string()),
@@ -4742,7 +4721,10 @@ WITH t AS (
            AS n
   FROM documents
 )
-SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)'
+            ELSE coalesce(source, '(null)') END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '(all)'
+            ELSE coalesce(lang, '(null)') END AS lang,
        CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
 FROM t GROUP BY ROLLUP (source, lang)
 """
@@ -4974,8 +4956,15 @@ def q_profile_docs(sf_dir: str):
             h = np.unique(hash64_array(vals))
             out_c.extend([c] * len(h))
             out_h.extend(h.tolist())
+            # sentinel extremes for valueless batches: never drag the global
+            # min to 0 / max up — combine()'s min/max ignores them naturally
             stats.append(
-                (c, nn, int(ln.min()) if len(ln) else 0, int(ln.max()) if len(ln) else 0)
+                (
+                    c,
+                    nn,
+                    int(ln.min()) if len(ln) else 2**62,
+                    int(ln.max()) if len(ln) else -(2**62),
+                )
             )
         hashes = pa.table(
             {
@@ -5228,8 +5217,13 @@ def q_group_sample(sf_dir: str):
                 "event_type": et,
                 "event_id": b["event_id"],
                 "_h": pa.array(
-                    (b["event_id"].to_numpy(zero_copy_only=False) * 2654435761)
-                    % 2**63,
+                    (
+                        (
+                            b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                            * np.uint64(2654435761)
+                        )
+                        % np.uint64(2**63)
+                    ).astype(np.int64),
                     pa.int64(),
                 ),
                 "_b": pa.array(

@@ -138,3 +138,30 @@ def prefix_sum(
         )
 
     return bucketed.groupby("_r").map_groups(scan_range, batch_format="pandas")
+
+
+def pack_bins(
+    run: rd.Dataset,
+    budget: int,
+    key_col: str = "doc_id",
+    val_col: str = "n_tokens",
+    run_col: str = "_run",
+    bin_col: str = "bin",
+) -> rd.Dataset:
+    """Token-budget bin assignment over a ``prefix_sum`` output:
+    bin = (inclusive_running − value) // budget (concat-then-split packing).
+    Shared by q_pack_sequences and the curation pipeline so the mapping and
+    its SQL twin can never drift apart."""
+
+    def binify(b: pa.Table) -> pa.Table:
+        r = b[run_col].to_numpy(zero_copy_only=False)
+        v = b[val_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: b[key_col],
+                val_col: b[val_col],
+                bin_col: pa.array((r - v) // budget, pa.int64()),
+            }
+        )
+
+    return run.map_batches(binify, batch_format="pyarrow")
