@@ -4651,39 +4651,46 @@ QUERIES["q_embed_quantize"] = (q_embed_quantize, SQL_EMBED_QUANTIZE)
 # value-hash comparison is type-stable on both engines.
 # --------------------------------------------------------------------------
 
+def _src_lang_token_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (source, lang) → (n_docs, n_tokens) partial aggregate.
+
+    Shared by the ROLLUP and CUBE queries: both derive every grouping level
+    from this one finest-grain combine (|source|×|lang| rows total), so the
+    multi-level output costs ONE shuffle regardless of level count.
+    """
+    n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
+    g = (
+        pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "lang": b["lang"].to_numpy(zero_copy_only=False),
+                "n_docs": 1,
+                "n_tokens": n,
+            }
+        )
+        .groupby(["source", "lang"], as_index=False, dropna=False)
+        .sum()
+    )
+    # NULL keys survive as their own group ('(null)'), distinct from the
+    # rollup '(all)' sentinel — GROUPING() disambiguates on the SQL side
+    g["source"] = g["source"].fillna("(null)")
+    g["lang"] = g["lang"].fillna("(null)")
+    return pa.table(
+        {
+            "source": pa.array(g["source"], pa.string()),
+            "lang": pa.array(g["lang"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_rollup(sf_dir: str):
     """(source, lang, n_docs, n_tokens) at rollup levels, '(all)' = rolled."""
     ds = _read(sf_dir, "documents", ["text", "source", "lang"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        n = T.token_counts(b["text"]).to_numpy(zero_copy_only=False)
-        g = (
-            pd.DataFrame(
-                {
-                    "source": b["source"].to_numpy(zero_copy_only=False),
-                    "lang": b["lang"].to_numpy(zero_copy_only=False),
-                    "n_docs": 1,
-                    "n_tokens": n,
-                }
-            )
-            .groupby(["source", "lang"], as_index=False, dropna=False)
-            .sum()
-        )
-        # NULL keys survive as their own group ('(null)'), distinct from the
-        # rollup '(all)' sentinel — GROUPING() disambiguates on the SQL side
-        g["source"] = g["source"].fillna("(null)")
-        g["lang"] = g["lang"].fillna("(null)")
-        return pa.table(
-            {
-                "source": pa.array(g["source"], pa.string()),
-                "lang": pa.array(g["lang"], pa.string()),
-                "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64), pa.int64()),
-                "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
-
     fine = combine_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(_src_lang_token_partial, batch_format="pyarrow"),
         ["source", "lang"],
         {"n_docs": "sum", "n_tokens": "sum"},
     )
@@ -5363,3 +5370,435 @@ GROUP BY 1
 """
 
 QUERIES["q_bigram_logprob"] = (q_bigram_logprob, SQL_BIGRAM_LOGPROB)
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicate-span detection — the word-shingle form of exact
+# substring dedup (Lee et al., "Deduplicating Training Data Makes Language
+# Models Better"): a K-token span appearing in ≥2 distinct docs is a
+# duplicated span; each doc reports how many of its span positions are
+# duplicated and the duplicated fraction. One gram-key bucketed shuffle
+# (bucket = f(gram) so a gram's full posting meets in one reduce task);
+# per-doc span totals fall out of the same pass (every position emits
+# exactly one gram row), so no second read and no join — partial counters
+# ride combine_partials. At 100 TB the gram STRING would be replaced by its
+# 128-bit hash (collision-free in practice) to shrink the shuffle payload;
+# the string is kept here for bit-exact oracle parity.
+# --------------------------------------------------------------------------
+
+DUP_SPAN_K = 5
+
+
+def q_dup_spans(sf_dir: str):
+    """(doc_id, n_spans, n_dup_spans, dup_frac_e6) per doc with ≥1 span."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = n_buckets_for()
+    k = DUP_SPAN_K
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_all = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat_all != ""
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        flat = flat_all[keep]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) < k:
+            return empty
+        # K-gram = K consecutive tokens within the same doc row
+        same = row_of[: 1 - k] == row_of[k - 1 :]
+        if not same.any():
+            return empty
+        gram = pd.Series(flat[: 1 - k][same])
+        for j in range(1, k):
+            nxt = flat[j : len(flat) - (k - 1 - j)][same]
+            gram = gram + " " + pd.Series(nxt)
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)[
+                        row_of[: 1 - k][same]
+                    ],
+                    "gram": gram.to_numpy(),
+                }
+            )
+            .groupby(["gram", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        h = hash64_array(pa.array(g["gram"], pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "gram": pa.array(g["gram"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+                "_b": pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def mark_dups(g: pd.DataFrame) -> pa.Table:
+        # same (gram, doc) may arrive from several batches — re-sum first
+        g = g.groupby(["gram", "doc_id"], as_index=False)["cnt"].sum()
+        ndocs = g.groupby("gram")["doc_id"].transform("nunique")
+        dup = (ndocs >= 2).to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        per_doc = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "n_spans": cnt,
+                    "n_dup_spans": np.where(dup, cnt, 0),
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(per_doc["doc_id"].to_numpy(), pa.int64()),
+                "n_spans": pa.array(
+                    per_doc["n_spans"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_dup_spans": pa.array(
+                    per_doc["n_dup_spans"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_doc = combine_partials(
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(mark_dups, batch_format="pandas"),
+        ["doc_id"],
+        {"n_spans": "sum", "n_dup_spans": "sum"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns = b["n_spans"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = b["n_dup_spans"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.floor(1e6 * nd / ns).astype(np.int64)
+        return b.append_column("dup_frac_e6", pa.array(frac, pa.int64()))
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+           AS g
+  FROM toks, unnest(range(1, len(t) - {DUP_SPAN_K - 2})) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(d.g) AS BIGINT) AS n_dup_spans,
+       CAST(floor(1e6 * count(d.g) / count(*)) AS BIGINT) AS dup_frac_e6
+FROM grams LEFT JOIN dup d ON grams.g = d.g
+GROUP BY doc_id
+"""
+
+QUERIES["q_dup_spans"] = (q_dup_spans, SQL_DUP_SPANS)
+
+
+# --------------------------------------------------------------------------
+# GROUP BY CUBE (source, lang) — all four grouping levels from the SAME
+# single-shuffle finest aggregate the ROLLUP query uses (the cube adds the
+# (all, lang) slice). Levels are derived driver-free on the tiny combined
+# table (|source|×|lang| rows), so level count never touches shuffle cost.
+# --------------------------------------------------------------------------
+
+def q_cube(sf_dir: str):
+    """(source, lang, n_docs, n_tokens) at every CUBE level; '(all)'=rolled."""
+    ds = _read(sf_dir, "documents", ["text", "source", "lang"])
+
+    fine = combine_partials(
+        ds.map_batches(_src_lang_token_partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        {"n_docs": "sum", "n_tokens": "sum"},
+    )
+
+    def levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        by_src = df.groupby("source", as_index=False)[["n_docs", "n_tokens"]].sum()
+        by_src["lang"] = "(all)"
+        by_lang = df.groupby("lang", as_index=False)[["n_docs", "n_tokens"]].sum()
+        by_lang["source"] = "(all)"
+        total = pd.DataFrame(
+            {
+                "source": ["(all)"],
+                "lang": ["(all)"],
+                "n_docs": [df["n_docs"].sum()],
+                "n_tokens": [df["n_tokens"].sum()],
+            }
+        )
+        out = pd.concat([df, by_src, by_lang, total], ignore_index=True)
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_docs": pa.array(out["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(
+                    out["n_tokens"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        levels, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_CUBE = """
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n
+  FROM documents
+)
+SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)'
+            ELSE coalesce(source, '(null)') END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '(all)'
+            ELSE coalesce(lang, '(null)') END AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY CUBE (source, lang)
+"""
+
+QUERIES["q_cube"] = (q_cube, SQL_CUBE)
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands) — merge each user's overlapping
+# event intervals [ts, ts + floor(value·3600) s] into maximal islands and
+# report islands / covered time / event count per user. Users are
+# hash-bucketed (a user's rows meet in ONE reduce task; users never straddle
+# buckets) and the island sweep inside a bucket is a vectorized
+# sort + shifted-cummax — the distributed form of the SQL window idiom.
+# --------------------------------------------------------------------------
+
+def q_interval_merge(sf_dir: str):
+    """(user_id, n_intervals, covered_us, n_events) after interval merge."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    n_buckets = n_buckets_for()
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        dur = np.floor(np.abs(b["value"].to_numpy(zero_copy_only=False)) * 3600.0)
+        e = s + dur.astype(np.int64) * 1_000_000
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        bb = (splitmix64(u.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+                "_b": pa.array(bb, pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "s", "e"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        e = g["e"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        # running max(e) over PRECEDING rows, reset at user boundaries —
+        # a per-user grouped cummax shifted by one row
+        seg = np.cumsum(new_user) - 1
+        cm = pd.Series(e).groupby(seg).cummax().to_numpy()
+        prev_max = np.empty_like(e)
+        prev_max[0] = np.iinfo(np.int64).min
+        prev_max[1:] = cm[:-1]
+        island_start = new_user | (s > prev_max)
+        gid = np.cumsum(island_start) - 1
+        isl = (
+            pd.DataFrame({"user_id": u, "gid": gid, "s": s, "e": e})
+            .groupby(["user_id", "gid"], as_index=False)
+            .agg(st=("s", "min"), en=("e", "max"), ne=("s", "size"))
+        )
+        isl["cov"] = isl["en"] - isl["st"]
+        out = isl.groupby("user_id", as_index=False).agg(
+            n_intervals=("gid", "size"),
+            covered_us=("cov", "sum"),
+            n_events=("ne", "sum"),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_intervals": pa.array(
+                    out["n_intervals"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "covered_us": pa.array(
+                    out["covered_us"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_events": pa.array(
+                    out["n_events"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(abs(value) * 3600) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(
+                max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775807)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS gid
+  FROM m
+),
+agg AS (
+  SELECT user_id, gid, min(s) AS st, max(e) AS en, count(*) AS ne
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(en - st) AS BIGINT) AS covered_us,
+       CAST(sum(ne) AS BIGINT) AS n_events
+FROM agg GROUP BY 1
+"""
+
+QUERIES["q_interval_merge"] = (q_interval_merge, SQL_INTERVAL_MERGE)
+
+
+# --------------------------------------------------------------------------
+# Robust outlier counts per group (median / MAD) — the quality-filter
+# primitive for skew-robust thresholds. Computed EXACTLY from a bounded
+# value-count histogram: l_quantity has ≤50 distinct integer values, so the
+# per-(flag, value) combine is one tiny shuffle and the weighted
+# median / MAD / outlier count all derive from the histogram — the whole
+# table is never sorted and never leaves its batches. Scale-clean: cost is
+# O(distinct values), not O(rows).
+# --------------------------------------------------------------------------
+
+def _weighted_median(vals: np.ndarray, cnts: np.ndarray) -> float:
+    """SQL median() semantics over a sorted value-count histogram."""
+    order = np.argsort(vals, kind="mergesort")
+    v, c = vals[order].astype(np.float64), cnts[order].astype(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    if n % 2 == 1:
+        return float(v[np.searchsorted(cum, (n + 1) // 2)])
+    lo = float(v[np.searchsorted(cum, n // 2)])
+    hi = float(v[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def q_mad_outliers(sf_dir: str):
+    """(l_returnflag, med_e2, mad_e2, n_outliers, n_rows) — |x−med|>3·MAD."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "f": b["l_returnflag"].to_numpy(zero_copy_only=False),
+                    "v": b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            )
+            .groupby(["f", "v"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.table(
+            {
+                "f": pa.array(g["f"], pa.string()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["f", "v"], {"cnt": "sum"}
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        rows = []
+        for f, g in df.groupby("f"):
+            v = g["v"].to_numpy().astype(np.float64)
+            c = g["cnt"].to_numpy().astype(np.int64)
+            med = _weighted_median(v, c)
+            d = np.abs(v - med)
+            dd = pd.DataFrame({"d": d, "c": c}).groupby("d", as_index=False)["c"].sum()
+            mad = _weighted_median(dd["d"].to_numpy(), dd["c"].to_numpy())
+            out_mask = d > 3.0 * mad
+            rows.append(
+                {
+                    "l_returnflag": f,
+                    "med_e2": int(round(med * 100)),
+                    "mad_e2": int(round(mad * 100)),
+                    "n_outliers": int(c[out_mask].sum()),
+                    "n_rows": int(c.sum()),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "med_e2": pa.array(out["med_e2"].to_numpy().astype(np.int64), pa.int64()),
+                "mad_e2": pa.array(out["mad_e2"].to_numpy().astype(np.int64), pa.int64()),
+                "n_outliers": pa.array(
+                    out["n_outliers"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_rows": pa.array(
+                    out["n_rows"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH q AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+),
+med AS (SELECT f, median(v) AS m FROM q GROUP BY 1),
+dev AS (SELECT q.f, abs(q.v - med.m) AS d, med.m AS m
+        FROM q JOIN med ON q.f = med.f),
+mad AS (SELECT f, median(d) AS md FROM dev GROUP BY 1)
+SELECT dev.f AS l_returnflag,
+       CAST(round(max(dev.m) * 100) AS BIGINT) AS med_e2,
+       CAST(round(max(mad.md) * 100) AS BIGINT) AS mad_e2,
+       CAST(sum(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM dev JOIN mad ON dev.f = mad.f
+GROUP BY 1
+"""
+
+QUERIES["q_mad_outliers"] = (q_mad_outliers, SQL_MAD_OUTLIERS)

@@ -150,6 +150,10 @@ FAST_ORACLE_QUERIES = [
     "q_session_windows",
     "q_skew_salted_sum",
     "q_hll_distinct",
+    "q_dup_spans",
+    "q_cube",
+    "q_interval_merge",
+    "q_mad_outliers",
 ]
 
 
