@@ -5802,3 +5802,255 @@ GROUP BY 1
 """
 
 QUERIES["q_mad_outliers"] = (q_mad_outliers, SQL_MAD_OUTLIERS)
+
+
+# --------------------------------------------------------------------------
+# Grouped Pearson correlation from EXACT integer sufficient statistics —
+# one map_batches pass emits per-group (n, Σx, Σy, Σx², Σy², Σxy) as int64
+# partials, one tiny combine sums them, and r is evaluated from the exact
+# integers with the same IEEE expression on both sides (Python bigints for
+# the products, so no intermediate overflow; both engines convert the same
+# exact integer to double and apply the same /,·,√ sequence → bit-equal
+# floor-scaled result). The table is never shuffled — this is the
+# sufficient-statistics pattern every distributed moment estimator uses.
+# --------------------------------------------------------------------------
+
+def q_grouped_corr(sf_dir: str):
+    """(l_returnflag, n_rows, corr_e6) — corr(quantity, discount·100)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.round(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "f": b["l_returnflag"].to_numpy(zero_copy_only=False),
+                    "n": 1,
+                    "sx": x,
+                    "sy": y,
+                    "sxx": x * x,
+                    "syy": y * y,
+                    "sxy": x * y,
+                }
+            )
+            .groupby("f", as_index=False)
+            .sum()
+        )
+        cols = {"f": pa.array(g["f"], pa.string())}
+        for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]:
+            cols[c] = pa.array(g[c].to_numpy().astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    stats = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["f"],
+        {k: "sum" for k in ["n", "sx", "sy", "sxx", "syy", "sxy"]},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = []
+        for r in df.itertuples():
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            num = n * int(r.sxy) - sx * sy          # exact Python bigints
+            a = n * int(r.sxx) - sx * sx
+            bb = n * int(r.syy) - sy * sy
+            corr = float(num) / (np.sqrt(float(a)) * np.sqrt(float(bb)))
+            out.append((r.f, n, int(np.floor(1e6 * corr))))
+        f, nn, ce = zip(*out) if out else ((), (), ())
+        return pa.table(
+            {
+                "l_returnflag": pa.array(list(f), pa.string()),
+                "n_rows": pa.array(list(nn), pa.int64()),
+                "corr_e6": pa.array(list(ce), pa.int64()),
+            }
+        )
+
+    return stats.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_GROUPED_CORR = """
+WITH s AS (
+  SELECT l_returnflag AS f,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS HUGEINT) AS sxx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(floor(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))) AS BIGINT) AS corr_e6
+FROM s
+"""
+
+QUERIES["q_grouped_corr"] = (q_grouped_corr, SQL_GROUPED_CORR)
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel (view → click → purchase) — the greedy-earliest funnel:
+# stage k+1 counts a user only if an event of that type occurs STRICTLY
+# after the user's stage-k completion time. Users are hash-bucketed so each
+# reduce task resolves its users' funnels with three vectorized
+# groupby-min/join passes; per-bucket stage counts are summed in a 3-row
+# combine. No per-user Python loop, no global sort.
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel(sf_dir: str):
+    """(stage, n_users) for the greedy view→click→purchase funnel."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    n_buckets = n_buckets_for()
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(FUNNEL_STAGES))
+        b = b.filter(m)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        s = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        bb = (splitmix64(u.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "et": b["event_type"],
+                "_b": pa.array(bb, pa.int64()),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        prev = None  # Series: user_id -> completion time of the prior stage
+        counts = []
+        for stage in FUNNEL_STAGES:
+            ev = g[g["et"] == stage]
+            if prev is not None:
+                t_prev = ev["user_id"].map(prev)
+                ev = ev[ev["s"] > t_prev.fillna(np.iinfo(np.int64).max)]
+            prev = ev.groupby("user_id")["s"].min()
+            counts.append(len(prev))
+        labels = [">".join(FUNNEL_STAGES[: i + 1]) for i in range(len(FUNNEL_STAGES))]
+        return pa.table(
+            {
+                "stage": pa.array(labels, pa.string()),
+                "n_users": pa.array(np.array(counts, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per_bucket = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(funnel, batch_format="pandas")
+    )
+    return combine_partials(per_bucket, ["stage"], {"n_users": "sum"})
+
+
+SQL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t1 GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t2 GROUP BY 1
+)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM a
+UNION ALL
+SELECT 'view>click', CAST(count(*) AS BIGINT) FROM b
+UNION ALL
+SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM c
+"""
+
+QUERIES["q_funnel"] = (q_funnel, SQL_FUNNEL)
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — customers grouped by first-order month (cohort), then
+# distinct-customer counts per (cohort, order month). ONE custkey-bucketed
+# shuffle resolves both the per-customer min and the distinct pairs (a
+# customer's rows all land in one reduce task), and only the tiny
+# (cohort × month) count matrix is re-combined. The classic two-join SQL
+# becomes a single co-located pass.
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(sf_dir: str):
+    """(cohort, month, n_customers) — yyyymm ints, distinct customers."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    n_buckets = n_buckets_for()
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        ym = (1970 + m // 12) * 100 + (m % 12 + 1)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        bb = (splitmix64(c.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array(c, pa.int64()),
+                "ym": pa.array(ym, pa.int64()),
+                "_b": pa.array(bb, pa.int64()),
+            }
+        )
+
+    def cohortize(g: pd.DataFrame) -> pa.Table:
+        cohort = g.groupby("c")["ym"].transform("min")
+        pairs = pd.DataFrame(
+            {"c": g["c"], "cohort": cohort, "month": g["ym"]}
+        ).drop_duplicates(["c", "month"])
+        cnt = pairs.groupby(["cohort", "month"], as_index=False).size()
+        return pa.table(
+            {
+                "cohort": pa.array(cnt["cohort"].to_numpy(), pa.int64()),
+                "month": pa.array(cnt["month"].to_numpy(), pa.int64()),
+                "n_customers": pa.array(
+                    cnt["size"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_bucket = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(cohortize, batch_format="pandas")
+    )
+    return combine_partials(per_bucket, ["cohort", "month"], {"n_customers": "sum"})
+
+
+SQL_COHORT_RETENTION = """
+WITH o AS (
+  SELECT o_custkey AS c,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym
+  FROM orders
+),
+f AS (SELECT c, min(ym) AS cohort FROM o GROUP BY 1)
+SELECT f.cohort, o.ym AS month,
+       CAST(count(DISTINCT o.c) AS BIGINT) AS n_customers
+FROM o JOIN f ON o.c = f.c
+GROUP BY 1, 2
+"""
+
+QUERIES["q_cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)

@@ -154,6 +154,9 @@ FAST_ORACLE_QUERIES = [
     "q_cube",
     "q_interval_merge",
     "q_mad_outliers",
+    "q_grouped_corr",
+    "q_funnel",
+    "q_cohort_retention",
 ]
 
 
