@@ -6054,3 +6054,69 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
+
+
+# --------------------------------------------------------------------------
+# J9 — skew-aware (hot-key-salted) shuffle join: lineitem ⋈ part with the
+# hot threshold forced low so real keys take the salted path (hot LEFT rows
+# salted over n_salt buckets, hot RIGHT rows replicated once per salt; the
+# cold majority shuffles exactly as the plain bucketed join). The oracle is
+# the plain INNER JOIN — salting must be invisible in the result.
+# --------------------------------------------------------------------------
+
+def q_j9_skew_join(sf_dir: str):
+    """(p_brand, n_rows, sum_qty) through the hot-key-salted join path."""
+    from .joins import skew_inner_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = skew_inner_join(
+        li,
+        pt,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_schema={"l_partkey": pa.int64(), "l_quantity": pa.float64()},
+        right_schema={"p_partkey": pa.int64(), "p_brand": pa.string()},
+        hot_threshold=8,  # deliberately low: exercises the salted path on real keys
+        n_salt=4,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "p_brand": b["p_brand"].to_numpy(zero_copy_only=False),
+                    "n_rows": 1,
+                    "sum_qty": b["l_quantity"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby("p_brand", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(g["p_brand"], pa.string()),
+                "n_rows": pa.array(g["n_rows"].to_numpy().astype(np.int64), pa.int64()),
+                "sum_qty": pa.array(
+                    g["sum_qty"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"],
+        {"n_rows": "sum", "sum_qty": "sum"},
+    )
+
+
+SQL_J9_SKEW_JOIN = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+QUERIES["q_j9_skew_join"] = (q_j9_skew_join, SQL_J9_SKEW_JOIN)

@@ -157,6 +157,7 @@ FAST_ORACLE_QUERIES = [
     "q_grouped_corr",
     "q_funnel",
     "q_cohort_retention",
+    "q_j9_skew_join",
 ]
 
 
@@ -826,3 +827,47 @@ def test_auto_join_strategies_agree(ray_session, sf_dir):
 
     pd.testing.assert_frame_equal(wide, narrow)
     assert len(wide) > 0
+
+
+def test_skew_join_salted_path_matches_plain(ray_session):
+    """A 50%-hot Zipf key through skew_inner_join == bucketed_inner_join,
+    including n_salt > n_buckets (the clamp that prevents duplicate
+    replicas of a hot right row landing in one bucket)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.joins import (
+        bucketed_inner_join,
+        skew_inner_join,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 40, n)).astype(np.int64)
+    left = rd.from_pandas(
+        pd.DataFrame({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    ).repartition(8)
+    right = rd.from_pandas(
+        pd.DataFrame({"rk": np.arange(40, dtype=np.int64),
+                      "name": [f"n{i}" for i in range(40)]})
+    ).repartition(4)
+    ls = {"k": pa.int64(), "v": pa.int64()}
+    rs = {"rk": pa.int64(), "name": pa.string()}
+
+    plain = (
+        bucketed_inner_join(left, right, left_on="k", right_on="rk",
+                            left_schema=ls, right_schema=rs)
+        .to_pandas().sort_values(["v"]).reset_index(drop=True)
+    )
+    for n_salt, n_buckets in [(4, 16), (64, 8)]:  # normal + clamped
+        salted = (
+            skew_inner_join(left, right, left_on="k", right_on="rk",
+                            left_schema=ls, right_schema=rs,
+                            hot_threshold=100, n_salt=n_salt,
+                            n_buckets=n_buckets)
+            .to_pandas().sort_values(["v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+    assert len(plain) == n  # every left row matched exactly once
