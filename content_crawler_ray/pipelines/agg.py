@@ -96,5 +96,7 @@ def value_count_threshold(ds: rd.Dataset, batch_values_fn, pct: int) -> int:
         .sort_index()
     )
     n_total = int(hist.sum())
+    if n_total == 0:
+        return 0
     k = max(0, -(-pct * n_total // 100) - 1)
     return int(hist.index.to_numpy()[np.searchsorted(hist.cumsum().to_numpy(), k + 1)])

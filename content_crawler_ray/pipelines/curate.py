@@ -15,10 +15,15 @@ Execution shape (designed for 100 TB, tested at sandbox scale):
            consumers (the MinHash pair sub-DAG and final assembly) read it
            without recomputing the pass.
   stage B  MinHash+LSH verified pairs over the cleaned set → distributed
-           connected components → the non-representative drop set. The
-           drop set is near-dup nodes only (tiny vs the corpus) and is
-           broadcast via ray.put; at a scale where even that set is large,
-           swap the np.isin for the bucketed anti-join (q_j7 shape).
+           connected components → the non-representative drop set. While
+           the drop set is small (≤ ``drop_broadcast_max`` ids) it is
+           broadcast via ray.put and np.isin'd in stage C's fused filter;
+           past the threshold the pipeline AUTO-SWITCHES to a bucketed
+           anti-join (the q_j7 shape: clean rows and drop ids ride one
+           doc_id-hash-bucketed exchange, each bucket keeps non-members)
+           so no drop id ever reaches the driver. Both branches produce
+           the identical corpus — tested by forcing the threshold to 0 on
+           a planted high-density near-dup input.
   stage C  ONE streaming pass over ``clean/``: drop benchmark docs
            (doc_id % 97 == 0 — the held-out eval stand-in, matching
            q_decontaminate) and docs sharing a word-4-gram with them
@@ -111,6 +116,60 @@ def _quality_threshold(ds: rd.Dataset, pct: int) -> int:
     )
 
 
+def _anti_join_drop(clean: rd.Dataset, drop_ds: rd.Dataset) -> rd.Dataset:
+    """Bucketed anti-join: keep clean rows whose doc_id is NOT in drop_ds
+    (column ``node``). One doc_id-hash exchange over both sides (the
+    q_j7_anti_join shape, queries.py:2575); the drop set never gathers."""
+    from ..functions.hashing import splitmix64
+    from ..runtime import n_buckets_for
+
+    n_buckets = n_buckets_for()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("_side", pa.int8()),
+            ("_b", pa.int64()),
+        ]
+    )
+
+    def tag(side: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(k, pa.int64()),
+                    pc.cast(b["text"], pa.string()) if side == 0 else pa.nulls(n, pa.string()),
+                    pa.array(np.full(n, side, np.int8), pa.int8()),
+                    pa.array(
+                        (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                        pa.int64(),
+                    ),
+                ],
+                schema=schema,
+            )
+
+        return fn
+
+    tagged = clean.map_batches(tag(0, "doc_id"), batch_format="pyarrow").union(
+        drop_ds.map_batches(tag(1, "node"), batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        lt = g[g["_side"] == 0]
+        have = g.loc[g["_side"] == 1, "doc_id"].to_numpy()
+        out = lt[~lt["doc_id"].isin(have)]
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+            }
+        )
+
+    return tagged.groupby("_b").map_groups(anti, batch_format="pandas")
+
+
 def curate_corpus(
     sf_dir: str,
     out_dir: str,
@@ -118,6 +177,7 @@ def curate_corpus(
     quality_pct: int = 10,
     minhash_threshold: float = 0.8,
     pack_budget: int = 512,
+    drop_broadcast_max: int = 2_000_000,
 ) -> dict:
     """Run the curation pipeline; returns per-stage lineage counts."""
     from .cc import connected_components
@@ -177,16 +237,30 @@ def curate_corpus(
                 ),
                 batch_format="pyarrow",
             )
-        ).to_pandas()
-        if comp.empty or "node" not in comp.columns:  # no near-dup pairs at all
-            drop = np.array([], dtype=np.int64)
+        )
+        drop = np.array([], dtype=np.int64)
+        base = clean
+        if comp.count() == 0:  # no near-dup pairs at all
+            n_drop = 0
         else:
-            drop = np.sort(
-                comp.loc[comp["node"] != comp["component"], "node"]
-                .to_numpy()
-                .astype(np.int64)
-            )
-        ray.get(counter.add.remote("minhash_dropped", len(drop)))
+            drop_ds = comp.map_batches(
+                lambda b: pa.table(
+                    {"node": b.filter(pc.invert(pc.equal(b["node"], b["component"])))["node"]}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            n_drop = drop_ds.count()
+            if n_drop <= drop_broadcast_max:
+                # small drop set: pull ids to the driver, np.isin in the
+                # fused stage-C filter (one pass, no extra shuffle)
+                if n_drop:
+                    drop = np.sort(
+                        drop_ds.to_pandas()["node"].to_numpy().astype(np.int64)
+                    )
+            else:
+                # large drop set: bucketed anti-join — ids stay distributed
+                base = _anti_join_drop(clean, drop_ds)
+        ray.get(counter.add.remote("minhash_dropped", n_drop))
 
         # ---- stage C: decontaminate + drop non-survivors → docs/ + plan/ ----
 
@@ -223,7 +297,10 @@ def curate_corpus(
             )
             return b.append_column("n_tokens", T.token_counts(b["text"]))
 
-        clean.map_batches(final_filter, batch_format="pyarrow").write_parquet(docs_dir)
+        # bench_grams always scans the FULL clean set (branch-invariant gram
+        # set); the filter pass runs over `base`, which in the anti-join
+        # branch already excludes the drop set
+        base.map_batches(final_filter, batch_format="pyarrow").write_parquet(docs_dir)
         _ensure_parquet_dir(
             docs_dir,
             {"doc_id": pa.int64(), "text": pa.string(), "n_tokens": pa.int64()},
@@ -242,7 +319,13 @@ def curate_corpus(
         open(_done(plan_dir), "w").write("ok")
 
     metrics = ray.get(counter.get.remote())
+    # Retry caveat: the streamed counter values (input / lang_kept /
+    # quality_kept / contaminated_dropped) are telemetry — a replayed Ray
+    # task re-reports its batch, so they can over-count under failures.
+    # The AUTHORITATIVE counts are re-derived from the persisted products
+    # (parquet metadata row counts), which are retry-proof by construction.
     metrics["n_clean"] = rd.read_parquet(clean_glob).count()  # parquet metadata
+    metrics["final_kept"] = rd.read_parquet(docs_dir, columns=["doc_id"]).count()
     plan = rd.read_parquet(plan_dir, columns=["bin"]).to_pandas()
     metrics["n_bins"] = int(plan["bin"].nunique()) if "bin" in plan.columns else 0
     return metrics

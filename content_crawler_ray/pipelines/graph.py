@@ -114,6 +114,10 @@ def pagerank(
         .materialize()
     )
     n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank_e9": pa.array([], pa.int64())})
+        )
     r0 = SCALE // n
     base = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN // n
 

@@ -5115,54 +5115,94 @@ QUERIES["q_j6_auto_join"] = (q_j6_auto_join, SQL_J6)
 # --------------------------------------------------------------------------
 
 def q_cogroup(sf_dir: str):
-    """(o_custkey, n_orders, total_cents, n_items) — both sides one shuffle."""
+    """(o_custkey, n_orders, total_cents, n_items) — two bucketed hops, no
+    driver-side fact materialization.
+
+    lineitem has no custkey, so hop 1 derives it INSIDE the shuffle: order
+    and lineitem rows ride the same orderkey-bucketed exchange (the
+    q_j6_bucketed_join shape), each bucket attaches custkey to its items and
+    pre-aggregates them to (custkey, n_items) partials while order rows are
+    pre-aggregated to (custkey, n_orders, total_cents) partials. Hop 2 is
+    the cogroup proper: both sides' partials meet on a custkey-bucketed
+    exchange and outer-align. Neither table is joined row-to-row across the
+    cluster and nothing fact-sized ever reaches the driver."""
     n_buckets = n_buckets_for()
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
-    # lineitem has no custkey — derive it the same deterministic way on both
-    # sides: custkey of an item = its order's custkey via a broadcast of the
-    # (small) orderkey→custkey map
-    omap = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
-    omap = omap.sort_values("o_orderkey")
-    keys = omap["o_orderkey"].to_numpy()
-    custs = omap["o_custkey"].to_numpy()
-    ref = ray.put((keys, custs))
 
+    def _b_of(k: np.ndarray) -> pa.Array:
+        return pa.array(
+            (splitmix64(k.astype(np.int64).view(np.uint64)) % np.uint64(n_buckets)).astype(
+                np.int64
+            ),
+            pa.int64(),
+        )
+
+    # hop-1 rows: both sides keyed by orderkey
     def o_rows(b: pa.Table) -> pa.Table:
-        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "k": pa.array(k, pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+                "cust": pa.array(
+                    b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
                 "cents": _cents(b["o_totalprice"]),
                 "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
-                "_b": pa.array(
-                    (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
-                    pa.int64(),
-                ),
+                "_b": _b_of(ok),
             }
         )
 
     def l_rows(b: pa.Table) -> pa.Table:
-        keys, custs = ray.get(ref)
-        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        k = custs[np.searchsorted(keys, ok)].astype(np.int64)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "k": pa.array(k, pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+                "cust": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
                 "cents": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
                 "side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
-                "_b": pa.array(
-                    (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
-                    pa.int64(),
-                ),
+                "_b": _b_of(ok),
             }
         )
 
+    # hop 1: attach custkey to items (inner — an item without an order drops,
+    # matching the twin's JOIN) and emit per-custkey partials for both sides
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        op = o.groupby("cust").agg(n=("cents", "size"), cents=("cents", "sum"))
+        lm = l[["ok"]].merge(o[["ok", "cust"]], on="ok", how="inner")
+        lp = lm.groupby("cust").size().rename("n").to_frame().assign(cents=0)
+        k = np.concatenate(
+            [op.index.to_numpy().astype(np.int64), lp.index.to_numpy().astype(np.int64)]
+        )
+        side = np.concatenate(
+            [np.zeros(len(op), np.int8), np.ones(len(lp), np.int8)]
+        )
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "n": pa.array(
+                    np.concatenate([op["n"].to_numpy(), lp["n"].to_numpy()]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "cents": pa.array(
+                    np.concatenate([op["cents"].to_numpy(), lp["cents"].to_numpy()]).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "side": pa.array(side, pa.int8()),
+                "_b2": _b_of(k),
+            }
+        )
+
+    # hop 2: cogroup-combine the partials per custkey
     def cg(g: pd.DataFrame) -> pa.Table:
         o = g[g["side"] == 0].groupby("k").agg(
-            n_orders=("cents", "size"), total_cents=("cents", "sum")
+            n_orders=("n", "sum"), total_cents=("cents", "sum")
         )
-        l = g[g["side"] == 1].groupby("k").size().rename("n_items")
+        l = g[g["side"] == 1].groupby("k")["n"].sum().rename("n_items")
         out = o.join(l, how="outer").fillna(0).reset_index()
         return pa.table(
             {
@@ -5177,6 +5217,8 @@ def q_cogroup(sf_dir: str):
         orders.map_batches(o_rows, batch_format="pyarrow")
         .union(li.map_batches(l_rows, batch_format="pyarrow"))
         .groupby("_b")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("_b2")
         .map_groups(cg, batch_format="pandas")
     )
 

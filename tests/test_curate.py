@@ -81,6 +81,57 @@ def test_make_documents_deterministic_with_planted_dups():
     assert agree > 0.95
 
 
+def test_curate_antijoin_branch_matches_broadcast(ray_session, tmp_path):
+    """Planted high-density near-dup input: forcing drop_broadcast_max=0
+    routes the drop set through the bucketed anti-join; the corpus must be
+    identical to the broadcast branch's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the small cat "
+        "sits on the mat with some other common english words that keep the "
+        "language classifier happy and the shingle set long enough for the "
+        "minhash bands to agree across copies of this document body "
+    ) * 3
+    rows_text, rows_id = [], []
+    # ids avoid doc_id % 97 == 0 — those are benchmark rows and every doc
+    # shares the base text's 4-grams, so a single benchmark doc would
+    # decontaminate the whole corpus away
+    ids = [j for j in range(1, 400) if j % 97 != 0][:240]
+    for i, j in enumerate(ids):
+        # 40 clusters of 6 near-identical docs → dense drop set
+        rows_id.append(j)
+        rows_text.append(base + f"cluster {i // 6} variant {'x' * (i % 6)}")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_text, pa.string()),
+            "lang": pa.array(["en"] * len(rows_id), pa.string()),
+            "source": pa.array(["t"] * len(rows_id), pa.string()),
+            "n_chars": pa.array([len(t) for t in rows_text], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    a, b = str(tmp_path / "bcast"), str(tmp_path / "anti")
+    ma = curate_corpus(str(tmp_path), a)
+    mb = curate_corpus(str(tmp_path), b, drop_broadcast_max=0)
+    assert ma["minhash_dropped"] == mb["minhash_dropped"] > 50  # dense dups
+    pa_, pb = (
+        read_plan(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for d in (a, b)
+    )
+    pd.testing.assert_frame_equal(pa_, pb)
+    da, db = (
+        rd.read_parquet(os.path.join(d, "docs"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for d in (a, b)
+    )
+    pd.testing.assert_frame_equal(da, db)
+
+
 def test_curate_all_filtered_degrades_to_empty(ray_session, tmp_path):
     """An input the language filter fully rejects yields empty (not crashed)
     products: typed empty parquet at every stage boundary, zero bins."""

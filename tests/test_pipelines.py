@@ -871,3 +871,16 @@ def test_skew_join_salted_path_matches_plain(ray_session):
         )
         pd.testing.assert_frame_equal(plain, salted)
     assert len(plain) == n  # every left row matched exactly once
+
+
+def test_cogroup_has_no_driver_materialization():
+    """Round-4 verdict finding #1: q_cogroup must derive custkey INSIDE the
+    shuffle — no fact-side column may reach the driver. Guard the plan at
+    the source level: the operator may not call to_pandas/take_all/ray.put."""
+    import inspect
+
+    from content_crawler_ray.pipelines.queries import q_cogroup
+
+    src = inspect.getsource(q_cogroup)
+    for banned in ("to_pandas", "take_all", "ray.put", "ray.get"):
+        assert banned not in src, f"q_cogroup materializes on the driver: {banned}"
