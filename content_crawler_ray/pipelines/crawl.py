@@ -75,7 +75,7 @@ from ..stages.fetch import (
 )
 from ..stages.links import FRONTIER_SCHEMA
 from ..state.politeness import Politeness
-from ..state.robots import RobotsCache
+from ..state.robots import PrefetchedRobots, RobotsCache, make_robots_store
 from ..state.seen import SeenSet
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
@@ -400,6 +400,7 @@ def _grant_stage(
     wave_no: int,
     state,
     n_buckets: int | None = None,
+    robots_store=None,
 ) -> rd.Dataset:
     """Distributed wave grant: the whole control plane (selection dedup,
     robots, seen admission, per-host rank-vs-budget, politeness reservation,
@@ -435,8 +436,18 @@ def _grant_stage(
         if not keep.all():
             t = t.filter(pa.array(keep))
         wave = t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+        # robots rules come from the SHARED run-wide store (one fetch per
+        # host per run): prefetch this bucket's distinct hosts in one
+        # round-trip, mask locally. A per-task RobotsCache() fallback keeps
+        # store-less callers (unit tests) working — in-sandbox the fetch is
+        # a pure function, so the fallback is semantically identical.
+        if robots_store is not None:
+            hosts = sorted(set(wave["host"].to_pylist()))
+            robots = PrefetchedRobots(ray.get(robots_store.rules_for_many.remote(hosts)))
+        else:
+            robots = RobotsCache()
         granted, denied, counters = _grant_wave(
-            wave, seen, politeness, RobotsCache(), host_budget, wave_no, bucket
+            wave, seen, politeness, robots, host_budget, wave_no, bucket
         )
         # blocking get: the report lands before the task completes
         ray.get(
@@ -488,6 +499,7 @@ def run_crawl(
 
     seen = SeenSet.create(cfg.n_seen_shards)
     politeness = Politeness.create(cfg.n_politeness_shards)
+    robots_store = make_robots_store()  # one rules fetch per host per RUN
 
     # Corpus access: a parquet FILE is broadcast ONCE via the object store
     # (zero-copy Arrow in plasma, shared by every fetch task of every wave);
@@ -553,7 +565,8 @@ def run_crawl(
             .map_batches(_block_dedup, batch_format="pyarrow")
         )
         wave_all = _grant_stage(
-            sel, seen, politeness, cfg.host_budget, wave_no, counter
+            sel, seen, politeness, cfg.host_budget, wave_no, counter,
+            robots_store=robots_store,
         ).materialize()
         counters = ray.get(counter.grant_totals.remote())
         n_granted = counters["granted"]
@@ -728,6 +741,8 @@ def run_crawl(
         "metrics": metrics,
         "seen_size": seen.size(),
         "run_id": run_id,
+        # contract: ≤ one robots.txt fetch per distinct host per run
+        "robots_fetches": ray.get(robots_store.n_fetches.remote()),
     }
 
 

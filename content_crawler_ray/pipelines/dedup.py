@@ -102,7 +102,8 @@ def _emit_pairs(g: pd.DataFrame, skip_counter=None) -> pd.DataFrame:
         a, b = np.triu_indices(len(ids), k=1)
         out_a.append(ids[a])
         out_b.append(ids[b])
-    report_skips(skip_counter, n_skipped, rows_skipped, "minhash_lsh")
+    slot = int(g["_b"].iloc[0]) if len(g) else 0
+    report_skips(skip_counter, n_skipped, rows_skipped, "minhash_lsh", slot=slot)
     if not out_a:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}

@@ -100,7 +100,8 @@ def hamming_lsh_pairs(
             out_b.append(ids[b])
             out_ha.append(hs[a])
             out_hb.append(hs[b])
-        report_skips(skip_counter, n_skipped, rows_skipped, "hamming_lsh")
+        slot = int(g["_b"].iloc[0]) if len(g) else 0
+        report_skips(skip_counter, n_skipped, rows_skipped, "hamming_lsh", slot=slot)
         if not out_a:
             return pd.DataFrame(
                 {

@@ -234,21 +234,26 @@ def broadcast_inner_join(
     payload columns. Right key must be unique (dimension-table shape)."""
     import ray
 
+    # payload Arrow types pinned from the right side's real schema: a batch
+    # with ZERO key hits would otherwise append columns inferred from an
+    # empty object ndarray (Arrow null type) and drift the block schema
+    rschema = right.schema().base_schema
+    rtypes = {n: rschema.field(n).type for n in right_cols}
     rt = right.to_pandas().set_index(right_on)
     assert rt.index.is_unique, "broadcast join right key must be unique"
-    ref = ray.put(rt[right_cols])
+    ref = ray.put((rt[right_cols], rtypes))
 
     def fn(b: pa.Table) -> pa.Table:
         import pandas as pd
 
-        lookup = ray.get(ref)
+        lookup, rtypes = ray.get(ref)
         keys = b[left_on].to_numpy(zero_copy_only=False)
         hit = pd.Index(keys).isin(lookup.index)
         b = b.filter(pa.array(hit))
         sub = lookup.loc[keys[hit]]
         out = b
         for c in right_cols:
-            out = out.append_column(c, pa.array(sub[c].to_numpy()))
+            out = out.append_column(c, pa.Array.from_pandas(sub[c], type=rtypes[c]))
         return out
 
     return left.map_batches(fn, batch_format="pyarrow")

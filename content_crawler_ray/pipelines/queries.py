@@ -801,7 +801,7 @@ def q_sample_hash(sf_dir: str):
 
 SQL_SAMPLE_HASH = """
 SELECT l_orderkey, l_linenumber FROM lineitem
-WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+WHERE ((CAST(l_orderkey AS HUGEINT) * 2654435761 + l_linenumber) % 18446744073709551616) % 100 < 10
 """
 
 
@@ -831,7 +831,7 @@ def q_sample_stratified(sf_dir: str):
 
 SQL_SAMPLE_STRATIFIED = """
 SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-WHERE (l_orderkey * 2654435761 + l_linenumber) % 1000 <
+WHERE ((CAST(l_orderkey AS HUGEINT) * 2654435761 + l_linenumber) % 18446744073709551616) % 1000 <
       CASE l_returnflag WHEN 'A' THEN 50 WHEN 'N' THEN 10
                         WHEN 'R' THEN 100 ELSE 0 END
 """
@@ -2425,6 +2425,55 @@ WHERE status = 200 AND caption LIKE '%glacier%' AND w >= 32
 """
 
 QUERIES["q_readback_match_bool"] = (q_readback_match_bool, SQL_READBACK_MATCH_BOOL)
+
+
+def q_readback_suggest(sf_dir: str):
+    """Completion-suggester analog (R/mendeley_query_examples.txt:15-27, the
+    ``completion`` suggester on ``title``): prefix top-k over the published
+    run's caption vocabulary — indexed docs' caption tokens starting with
+    the prefix, ranked by document frequency (the ES suggester's weight),
+    ties broken lexically for a deterministic suggestion list.
+
+    Shape: per-batch token extract + count partials (shuffle carries only
+    (token, n) rows), tiny bucketed combine, then sort+limit over the
+    aggregated suggestion set — never over the corpus."""
+    from .agg import combine_partials
+    from .crawl import read_fetched
+
+    prefix, k = "h", 10
+    ds = read_fetched(_ensure_readback_run())
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = b.filter(pc.equal(b["status"], 200))
+        flat = pc.list_flatten(pc.split_pattern(t["caption"], " "))
+        hits = flat.filter(pc.starts_with(flat, prefix))
+        df = pd.DataFrame({"suggestion": hits.to_pandas()})
+        return (
+            df.groupby("suggestion", as_index=False)
+            .size()
+            .rename(columns={"size": "weight"})
+        )
+
+    agg = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["suggestion"],
+        {"weight": "sum"},
+    )
+    return agg.sort(["weight", "suggestion"], descending=[True, False]).limit(k)
+
+
+SQL_READBACK_SUGGEST = f"""
+WITH tok AS (
+  SELECT unnest(string_split(coalesce(caption, ''), ' ')) AS suggestion
+  FROM read_parquet('{_READBACK_GLOB}', hive_partitioning=0)
+  WHERE status = 200
+)
+SELECT suggestion, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE suggestion LIKE 'h%'
+GROUP BY 1 ORDER BY weight DESC, suggestion LIMIT 10
+"""
+
+QUERIES["q_readback_suggest"] = (q_readback_suggest, SQL_READBACK_SUGGEST)
 
 
 # --------------------------------------------------------------------------
@@ -4367,7 +4416,7 @@ tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS ts FROM t GROUP BY 1),
 mn AS (SELECT min(ts) AS tmin FROM tot),
 rate AS (SELECT source, (1000 * tmin) // ts AS r FROM tot CROSS JOIN mn)
 SELECT doc_id, source, n_tokens FROM t JOIN rate USING (source)
-WHERE (doc_id * 2654435761) % 1000 < r
+WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) % 1000 < r
 """
 
 QUERIES["q_source_mix"] = (q_source_mix, SQL_SOURCE_MIX)
@@ -5305,7 +5354,7 @@ SELECT event_type, event_id FROM (
   SELECT event_type, event_id,
          row_number() OVER (
            PARTITION BY event_type
-           ORDER BY (event_id * 2654435761) % 9223372036854775808, event_id
+           ORDER BY ((CAST(event_id AS HUGEINT) * 2654435761) % 18446744073709551616) % 9223372036854775808, event_id
          ) AS rn
   FROM events
 ) WHERE rn <= {_GROUP_SAMPLE_K}

@@ -48,27 +48,34 @@ def n_buckets_for(
 
 @ray.remote(num_cpus=0)
 class SkipCounter:
-    """Diagnostic counter for LSH band buckets skipped by the MAX_BUCKET hot
-    guard (pipelines/hamming.py, pipelines/dedup.py). Additive — a replayed
-    reduce task double-counts — so this is coverage TELEMETRY, not an exact
-    ledger; the per-task log line carries the authoritative per-task number.
+    """Exact ledger of LSH band buckets skipped by the MAX_BUCKET hot guard
+    (pipelines/hamming.py, pipelines/dedup.py). Reports are keyed by
+    (stage, shuffle-bucket) and OVERWRITE that slot — the _WaveState pattern
+    (crawl.py) — so a replayed reduce task re-reports the same deterministic
+    numbers into the same slot instead of double-counting.
     """
 
     def __init__(self):
-        self.buckets = 0
-        self.rows = 0
+        self.slots: dict[tuple, tuple[int, int]] = {}
 
-    def add(self, buckets: int, rows: int) -> None:
-        self.buckets += buckets
-        self.rows += rows
+    def report(self, where: str, slot: int, buckets: int, rows: int) -> None:
+        self.slots[(where, slot)] = (int(buckets), int(rows))
 
     def totals(self) -> dict:
-        return {"skipped_buckets": self.buckets, "skipped_rows": self.rows}
+        return {
+            "skipped_buckets": sum(b for b, _ in self.slots.values()),
+            "skipped_rows": sum(r for _, r in self.slots.values()),
+        }
 
 
-def report_skips(skip_counter, n_buckets: int, n_rows: int, where: str) -> None:
+def report_skips(
+    skip_counter, n_buckets: int, n_rows: int, where: str, slot: int = 0
+) -> None:
     """Log (and optionally count) hot-bucket skips from inside a reduce task.
-    A silent cap reads as full coverage — every skip must leave a trace."""
+    A silent cap reads as full coverage — every skip must leave a trace.
+    ``slot`` is the reduce task's shuffle-bucket id: the grant is
+    deterministic per bucket, so an overwrite per (where, slot) makes the
+    counter replay-exact."""
     if not n_buckets:
         return
     log.warning(
@@ -78,4 +85,4 @@ def report_skips(skip_counter, n_buckets: int, n_rows: int, where: str) -> None:
         n_rows,
     )
     if skip_counter is not None:
-        ray.get(skip_counter.add.remote(n_buckets, n_rows))
+        ray.get(skip_counter.report.remote(where, int(slot), n_buckets, n_rows))

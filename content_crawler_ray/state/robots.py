@@ -51,11 +51,57 @@ class RobotsCache:
     def __init__(self, fetcher=synthetic_robots_txt):
         self._fetcher = fetcher
         self._rules: dict[str, list[str]] = {}
+        self.n_fetches = 0  # rules fetched (cache misses), for the 1/host/run contract
 
     def rules_for(self, host: str) -> list[str]:
         if host not in self._rules:
+            self.n_fetches += 1
             self._rules[host] = parse_robots(self._fetcher(host))
         return self._rules[host]
 
     def allowed(self, host: str, path: str) -> bool:
         return not any(path.startswith(p) for p in self.rules_for(host))
+
+
+class PrefetchedRobots:
+    """Bucket-local read-only view over rules prefetched from the shared
+    ``RobotsStore`` — the RobotsCache interface ``_robots_mask`` consumes,
+    with zero fetches of its own (KeyError on an unprefetched host is a
+    bug, not a fallback)."""
+
+    def __init__(self, rules: dict[str, list[str]]):
+        self._rules = rules
+
+    def rules_for(self, host: str) -> list[str]:
+        return self._rules[host]
+
+    def allowed(self, host: str, path: str) -> bool:
+        return not any(path.startswith(p) for p in self._rules[host])
+
+
+def make_robots_store(fetcher=None):
+    """Cluster-wide robots rules cache: ONE rules fetch per host per RUN,
+    shared by every grant bucket of every wave. In-sandbox the fetch is the
+    deterministic synthetic function so a per-task cold cache would be free,
+    but in production robots.txt is network state — re-fetching it per
+    (wave × bucket) re-hits every host's /robots.txt each wave. Grant tasks
+    prefetch their bucket's distinct hosts in one round-trip
+    (``rules_for_many``) and run the mask locally via PrefetchedRobots.
+
+    Defined as a factory (ray.remote at call time) so importing this module
+    never requires an initialized Ray.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class RobotsStore:
+        def __init__(self):
+            self._cache = RobotsCache(fetcher or synthetic_robots_txt)
+
+        def rules_for_many(self, hosts: list[str]) -> dict[str, list[str]]:
+            return {h: self._cache.rules_for(h) for h in hosts}
+
+        def n_fetches(self) -> int:
+            return self._cache.n_fetches
+
+    return RobotsStore.remote()

@@ -72,6 +72,11 @@ def test_engine_matches_simulator(ray_session, corpus_and_seeds, golden):
     for col in ["status", "wave", "fetch_seq", "depth", "caption"]:
         assert simf[col].tolist() == engf[col].tolist(), col
 
+    # ST8 production contract: robots rules fetched from the shared
+    # run-wide store — at most ONE fetch per distinct host per run (the
+    # host universe is synth.N_HOSTS), not one per (wave × grant bucket)
+    assert 0 < res["robots_fetches"] <= synth.N_HOSTS
+
 
 def test_resume_equals_uninterrupted(ray_session, corpus_and_seeds, golden):
     _, seeds, corpus_path, root = corpus_and_seeds

@@ -646,6 +646,18 @@ def test_hot_lsh_buckets_are_counted_not_silent(ray_session, tmp_path):
     assert t2["skipped_buckets"] > 0 and t2["skipped_rows"] > 0
     assert pairs.count() == 0
 
+    # replay-exactness: a replayed reduce task re-reports the same
+    # deterministic numbers into the same (stage, bucket) slot — totals
+    # must NOT double (round-4 VERDICT #7: overwrite, not add)
+    from content_crawler_ray.runtime import report_skips
+
+    ctr3 = SkipCounter.remote()
+    report_skips(ctr3, 2, 100, "minhash_lsh", slot=5)
+    report_skips(ctr3, 2, 100, "minhash_lsh", slot=5)  # simulated task replay
+    report_skips(ctr3, 1, 40, "hamming_lsh", slot=5)  # same slot, other stage
+    t3 = _ray.get(ctr3.totals.remote())
+    assert t3 == {"skipped_buckets": 3, "skipped_rows": 140}
+
 
 def test_asof_join_tie_and_no_match(ray_session):
     import ray.data as rd
@@ -884,3 +896,53 @@ def test_cogroup_has_no_driver_materialization():
     src = inspect.getsource(q_cogroup)
     for banned in ("to_pandas", "take_all", "ray.put", "ray.get"):
         assert banned not in src, f"q_cogroup materializes on the driver: {banned}"
+
+
+def test_ivf_recall_floor_vs_exact(ray_session, sf_dir):
+    """Quantitative contract for the approximate IVF path (round-4 VERDICT
+    #8): recall@10 of ivf_topk vs the exact brute-force top-k must hold a
+    floor at the default (n_centroids=16, n_probe=4) setting."""
+    import os
+
+    from content_crawler_ray.pipelines.ann import ann_topk, ivf_topk
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    exact = ann_topk(p, n_queries=5, k=10).to_pandas()
+
+    def mean_recall(n_probe: int) -> float:
+        approx = ivf_topk(p, n_queries=5, k=10, n_probe=n_probe).to_pandas()
+        recalls = []
+        for qid, grp in exact.groupby("query_id"):
+            truth = set(grp["vec_id"])
+            got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+            recalls.append(len(truth & got) / len(truth))
+        assert len(recalls) == 5
+        return float(np.mean(recalls))
+
+    # measured deterministic curve at sf0.001: 0.74 @ 4, 0.90 @ 8, 1.0 @ 16
+    r4, r8, r16 = mean_recall(4), mean_recall(8), mean_recall(16)
+    assert r4 >= 0.6, r4  # default probe: floor with margin
+    assert r8 >= 0.85, r8  # half the buckets probed
+    assert r16 == 1.0, r16  # full probe IS exact (the q_ann_ivf_full pin)
+    assert r4 <= r8 <= r16  # probing more never loses recall
+
+
+def test_broadcast_join_zero_hit_blocks_keep_typed_schema(ray_session):
+    """A block with zero key hits must append payload columns with the right
+    side's REAL Arrow types (not null-type from an empty object ndarray),
+    or string payloads drift the schema across blocks."""
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.joins import broadcast_inner_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 999, 998], pa.int64())})
+    ).repartition(4)  # two blocks have zero hits
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
+    )
+    out = broadcast_inner_join(
+        left, right, left_on="k", right_on="rk", right_cols=["name"]
+    ).materialize()
+    assert dict(zip(out.schema().names, map(str, out.schema().types)))["name"] == "string"
+    assert out.to_pandas().sort_values("k").name.tolist() == ["a", "b"]
