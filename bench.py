@@ -38,9 +38,34 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _quiet_window(num_cpus: int) -> tuple[float, bool]:
+    """Co-tenant gate (round-4 VERDICT #4: record capability, not weather).
+    Sampled BEFORE ray.init so the reading is self-load-free — loadavg marks
+    taken between timed runs are dominated by this process's own decaying
+    1-min EWMA and cannot distinguish co-tenants. If the box is busy, cool
+    down once (BENCH_COOL_SECS) and re-sample; if still busy, proceed but
+    FLAG the result as contended so BENCH_rN.json carries the attribution
+    BASELINE.md previously had to reconstruct by hand."""
+    thresh = max(3.0, num_cpus / 4)
+    baseline = _loadavg1()
+    if baseline > thresh:
+        time.sleep(float(os.environ.get("BENCH_COOL_SECS", "30")))
+        baseline = _loadavg1()
+    return baseline, baseline > thresh
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    baseline_load, contended = _quiet_window(num_cpus)
 
     import ray
 
@@ -105,12 +130,7 @@ def run_bench() -> dict:
     # number BASELINE.md measures, not a single ±30% noise draw
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
 
-    def loadavg1() -> float:
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except OSError:
-            return -1.0
+    loadavg1 = _loadavg1
 
     # co-tenant contention marker: 1-min loadavg before each timed run. This
     # VM is shared — load far above this process's num_cpus means another
@@ -194,9 +214,115 @@ def run_bench() -> dict:
         "n_waves": res["n_waves"],
         "runs": [round(r, 3) for r in runs],
         "loadavg1_at_runs": load_marks,
+        "loadavg1_baseline": baseline_load,
+        "contended": contended,
     }
     ray.shutdown()
     return result
+
+
+# per-op scaling targets (round-4 VERDICT #3): multi-shuffle pipelines whose
+# Amdahl terms differ from the crawl's — LSH band shuffles + pair verify for
+# minhash; six chained stages with persisted boundaries for curate
+SCALING_OPS = ("q_dedup_minhash", "curate_20k_docs")
+
+
+def run_op(op: str) -> dict:
+    """Time ONE operator pipeline in a fresh Ray session (min of
+    BENCH_QUERY_REPEATS warmed draws) — the per-op leg of --scaling-ops."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    baseline_load, contended = _quiet_window(num_cpus)
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR"
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from content_crawler_ray.pipelines.queries import QUERIES
+    from content_crawler_ray.sources import synth
+
+    repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+    bench_dir = os.environ.get("CCRAY_BENCH_DIR", "/dev/shm/ccray")
+
+    def timed(fn) -> list[float]:
+        fn()  # untimed warmup: worker pool spawn + page-cache faulting
+        draws = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            draws.append(time.time() - t0)
+        return draws
+
+    if op == "curate_20k_docs":
+        from content_crawler_ray.pipelines.curate import curate_corpus
+
+        docs_dir = synth.ensure_documents(20_000)  # fixture prep, untimed
+        cdir = f"{bench_dir}/bench_opscale_{num_cpus}"
+
+        def job():
+            shutil.rmtree(cdir, ignore_errors=True)
+            curate_corpus(docs_dir, cdir)
+
+        draws = timed(job)
+        shutil.rmtree(cdir, ignore_errors=True)
+    else:
+        fn, _sql = QUERIES[op]
+
+        def job():
+            out = fn(sf_dir)
+            if hasattr(out, "materialize"):
+                out.materialize()
+
+        draws = timed(job)
+
+    result = {
+        "metric": f"{op}_wall_sec",
+        "value": round(min(draws), 3),
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "runs": [round(r, 3) for r in draws],
+        "loadavg1_baseline": baseline_load,
+        "contended": contended,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling_ops() -> dict:
+    """One interleaved lo→hi pair per SCALING_OPS entry (same estimator as
+    run_scaling: fresh subprocess per leg, min-of-N per leg, per-pair ratio
+    cancels multi-minute co-tenant drift)."""
+    import subprocess
+
+    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
+
+    def one(op: str, ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--op", op],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ops = {}
+    for op in SCALING_OPS:
+        r_lo = one(op, lo)
+        r_hi = one(op, hi)
+        ops[op] = {
+            "sec_lo": r_lo["value"],
+            "sec_hi": r_hi["value"],
+            "efficiency": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
+            "contended": r_lo["contended"] or r_hi["contended"],
+            "loadavg_baselines": [r_lo["loadavg1_baseline"], r_hi["loadavg1_baseline"]],
+        }
+    return {"metric": f"op_scaling_{lo}_to_{hi}", "lo_cpus": lo, "hi_cpus": hi, "ops": ops}
 
 
 def run_scaling() -> dict:
@@ -262,7 +388,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-ops" in sys.argv:
+        print(json.dumps(run_scaling_ops()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--op" in sys.argv:
+        print(json.dumps(run_op(sys.argv[sys.argv.index("--op") + 1])))
     else:
         print(json.dumps(run_bench()))

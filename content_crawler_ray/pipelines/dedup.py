@@ -67,6 +67,15 @@ class MinHashStage:
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Per-doc composition kept DELIBERATELY (round-4 VERDICT stretch,
+        # measured negative): four batch-vectorized variants (whole-batch
+        # FNV window pass + chunked 128-perm matrix with segment-min;
+        # distinct-shingle matrix + row/column gather; Mersenne division-free
+        # mod) all measured 0.40–0.73× of this loop on the 20k-doc corpus.
+        # The op count (n_perm × n_shingles) is layout-invariant and this
+        # loop's per-doc matrices (~128×600) stay L2-resident, while every
+        # batched layout streams ~13 GB of temporaries. Numbers in
+        # BASELINE.md "MinHash kernel vectorization (negative result)".
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
         doc_ids, bands, bhashes = [], [], []
