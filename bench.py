@@ -249,6 +249,15 @@ def run_op(op: str) -> dict:
     repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     bench_dir = os.environ.get("CCRAY_BENCH_DIR", "/dev/shm/ccray")
 
+    # BENCH_OP_DOCS re-points the op at a synthetic documents table of that
+    # many rows (cached fixture, untimed). The sf0.1 table is only 5k docs
+    # (~33 cpu-s of minhash work) — a 4→16 pair there measures Ray's fixed
+    # per-stage costs, not the engine's scaling shape; the 100k-doc tier is
+    # where the parallel term dominates (BASELINE.md round-5 op scaling).
+    op_docs = os.environ.get("BENCH_OP_DOCS")
+    if op_docs:
+        sf_dir = synth.ensure_documents(int(op_docs))
+
     def timed(fn) -> list[float]:
         fn()  # untimed warmup: worker pool spawn + page-cache faulting
         draws = []
@@ -261,7 +270,7 @@ def run_op(op: str) -> dict:
     if op == "curate_20k_docs":
         from content_crawler_ray.pipelines.curate import curate_corpus
 
-        docs_dir = synth.ensure_documents(20_000)  # fixture prep, untimed
+        docs_dir = sf_dir if op_docs else synth.ensure_documents(20_000)
         cdir = f"{bench_dir}/bench_opscale_{num_cpus}"
 
         def job():

@@ -6211,3 +6211,106 @@ GROUP BY 1
 """
 
 QUERIES["q_j9_skew_join"] = (q_j9_skew_join, SQL_J9_SKEW_JOIN)
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality flags (Gopher-style, Rae et al. 2021 §A1.1 shapes):
+# per-doc top-token fraction, duplicate-bigram fraction, and longest
+# consecutive same-token run — the repetition filters a curation pipeline
+# gates on. ONE shuffle-free streaming pass; the per-batch kernel is fully
+# vectorized (pandas explode → factorize → composite-key segment counts,
+# np.maximum.at for per-doc maxima, boundary-break run-length encoding).
+# Fractions are exact integer math (×1e6 floor-div) shared with the twin.
+# --------------------------------------------------------------------------
+
+def q_repetition_flags(sf_dir: str):
+    """(doc_id, n_tokens, top_tok_e6, dup_bigram_e6, max_run) per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        n_docs = len(df)
+        s = df["text"].fillna("").str.split(" ").explode()
+        s = s[s != ""].dropna()
+        n_tok = np.zeros(n_docs, np.int64)
+        top = np.zeros(n_docs, np.int64)
+        nb = np.zeros(n_docs, np.int64)
+        db = np.zeros(n_docs, np.int64)
+        mr = np.zeros(n_docs, np.int64)
+        if len(s):
+            ridx = s.index.to_numpy().astype(np.int64)
+            codes, uniq = pd.factorize(s.to_numpy(), sort=False)
+            codes = codes.astype(np.int64)
+            V = np.int64(len(uniq))
+            n_tok = np.bincount(ridx, minlength=n_docs).astype(np.int64)
+            # top token count per doc: counts of (doc, code) pairs, max per doc
+            comp = ridx * V + codes
+            keys, cnt = np.unique(comp, return_counts=True)
+            np.maximum.at(top, (keys // V).astype(np.int64), cnt.astype(np.int64))
+            # bigrams = consecutive token pairs within one doc
+            same = ridx[1:] == ridx[:-1]
+            if same.any():
+                bg_doc = ridx[1:][same]
+                bg_key = codes[:-1][same] * V + codes[1:][same]
+                nb = np.bincount(bg_doc, minlength=n_docs).astype(np.int64)
+                order = np.lexsort((bg_key, bg_doc))
+                dd, kk = bg_doc[order], bg_key[order]
+                new = np.concatenate([[True], (dd[1:] != dd[:-1]) | (kk[1:] != kk[:-1])])
+                db = np.bincount(dd[new], minlength=n_docs).astype(np.int64)
+            # longest run: break where doc or token changes
+            brk = np.concatenate([[True], (ridx[1:] != ridx[:-1]) | (codes[1:] != codes[:-1])])
+            starts = np.nonzero(brk)[0]
+            run_len = np.diff(np.concatenate([starts, [len(codes)]])).astype(np.int64)
+            np.maximum.at(mr, ridx[starts], run_len)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_tokens": n_tok,
+                "top_tok_e6": np.where(n_tok > 0, 1_000_000 * top // np.maximum(n_tok, 1), 0).astype(np.int64),
+                "dup_bigram_e6": np.where(nb > 0, 1_000_000 * (nb - db) // np.maximum(nb, 1), 0).astype(np.int64),
+                "max_run": mr,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_REPETITION_FLAGS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) u(i)
+),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM seq GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM toks, unnest(range(1, len(t))) u(i)
+),
+bgs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+               CAST(count(DISTINCT b) AS BIGINT) AS db FROM bg GROUP BY 1),
+runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS rl FROM (
+    SELECT doc_id, tok,
+           i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g
+    FROM seq
+  ) GROUP BY doc_id, tok, g
+),
+mr AS (SELECT doc_id, max(rl) AS m FROM runs GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.n, 0) AS n_tokens,
+       CAST(CASE WHEN coalesce(t.n, 0) = 0 THEN 0
+                 ELSE (1000000 * t.mx) // t.n END AS BIGINT) AS top_tok_e6,
+       CAST(CASE WHEN coalesce(g.nb, 0) = 0 THEN 0
+                 ELSE (1000000 * (g.nb - g.db)) // g.nb END AS BIGINT) AS dup_bigram_e6,
+       CAST(coalesce(m.m, 0) AS BIGINT) AS max_run
+FROM documents d
+LEFT JOIN tops t USING (doc_id)
+LEFT JOIN bgs g USING (doc_id)
+LEFT JOIN mr m USING (doc_id)
+"""
+
+QUERIES["q_repetition_flags"] = (q_repetition_flags, SQL_REPETITION_FLAGS)

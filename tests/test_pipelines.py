@@ -104,6 +104,8 @@ FAST_ORACLE_QUERIES = [
     "q_readback_range_exists",
     "q_readback_nested_links",
     "q_readback_match_bool",
+    "q_readback_suggest",
+    "q_repetition_flags",
     "q_t1_rename",
     "q_t2_normalize",
     "q_t3_created_at",
