@@ -4,8 +4,9 @@ training-data-pipeline components (exact, bag-of-words, MinHash+LSH, SimHash).
 Scale shapes:
   - exact / bow dedup: add a 64-bit content hash in a vectorized map_batches,
     then ONE groupby shuffle on the (uniform) hash key — never on raw text.
-  - MinHash+LSH: shingle→signature per batch (stateful params in an actor
-    pool), explode to (band, band_hash, doc_id) rows, groupby the band key,
+  - MinHash+LSH: shingle→signature per batch (task-form stage, params
+    cached per worker), explode to (band, band_hash, doc_id) rows, groupby
+    the band key,
     emit candidate pairs per bucket, verify exact Jaccard. The verify stage
     shuffles pair endpoints + doc texts on the same doc-id bucket key (text
     ships once), then pivots pairs together on a tiny second shuffle — no
@@ -58,8 +59,9 @@ def exact_dedup_first(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 
 class MinHashStage:
-    """Actor-pool stage: documents → (doc_id, band, band_hash) LSH rows.
-    Permutation params built once per actor (__init__), not per batch."""
+    """documents → (doc_id, band, band_hash) LSH rows. Permutation params
+    built once per instance (__init__), not per batch; dispatched as a
+    TASK stage via _minhash_rows' per-worker cache."""
 
     def __init__(self, n_perm: int = 128, n_bands: int = 16, shingle_k: int = 5):
         self.a, self.b = T.minhash_params(n_perm)
@@ -94,44 +96,83 @@ class MinHashStage:
         )
 
 
+_MINHASH_STAGE_CACHE: dict = {}
+
+
+def _minhash_rows(
+    batch: pa.Table, n_perm: int = 128, n_bands: int = 16, shingle_k: int = 5
+) -> pa.Table:
+    """Task-form signature stage: the (cheap) permutation params build once
+    per worker process via a module-level cache — the same amortization an
+    actor __init__ gives, without pool-sizing pathologies (see
+    _candidate_pairs_raw)."""
+    key = (n_perm, n_bands, shingle_k)
+    st = _MINHASH_STAGE_CACHE.get(key)
+    if st is None:
+        st = _MINHASH_STAGE_CACHE[key] = MinHashStage(n_perm, n_bands, shingle_k)
+    return st(batch)
+
+
 def _emit_pairs(g: pd.DataFrame, skip_counter=None) -> pd.DataFrame:
     """Candidate pairs from every (band, band_hash) group of one shuffle
-    bucket — vectorized per group, ONE map_groups call per bucket (ray's
-    per-group dispatch is Python-level and pathological at many tiny groups)."""
-    out_a, out_b = [], []
-    n_skipped = rows_skipped = 0
-    for _, grp in g.groupby(["band", "band_hash"], sort=False):
-        ids = np.sort(grp["doc_id"].to_numpy())
-        if len(ids) > MAX_BUCKET:
-            n_skipped += 1
-            rows_skipped += len(ids)
-            continue
-        if len(ids) < 2:
-            continue
-        a, b = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[a])
-        out_b.append(ids[b])
+    bucket — NO per-group Python loop (a pandas groupby iteration over the
+    ~1 group/doc/band population measured 64 cpu-s at 100k docs): one
+    lexsort finds group boundaries, then groups are processed SIZE-bucketed
+    (≤ MAX_BUCKET distinct sizes) so each size's pair expansion is a single
+    gather + triu over a (n_groups_of_size, size) matrix."""
     slot = int(g["_b"].iloc[0]) if len(g) else 0
-    report_skips(skip_counter, n_skipped, rows_skipped, "minhash_lsh", slot=slot)
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+    )
+    if not len(g):
+        report_skips(skip_counter, 0, 0, "minhash_lsh", slot=slot)
+        return empty
+    band = g["band"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    order = np.lexsort((ids, bh, band))
+    band_s, bh_s, ids_s = band[order], bh[order], ids[order]
+    new = np.concatenate([[True], (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])])
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.concatenate([starts, [len(ids_s)]]))
+    hot = sizes > MAX_BUCKET
+    report_skips(
+        skip_counter, int(hot.sum()), int(sizes[hot].sum()), "minhash_lsh", slot=slot
+    )
+    out_a, out_b = [], []
+    emit = (sizes >= 2) & ~hot
+    for s in np.unique(sizes[emit]):
+        sel = starts[emit & (sizes == s)]
+        m = ids_s[sel[:, None] + np.arange(s)[None, :]]  # ids sorted in-group
+        a, b = np.triu_indices(int(s), k=1)
+        out_a.append(m[:, a].ravel())
+        out_b.append(m[:, b].ravel())
     if not out_a:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
-        )
+        return empty
     return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
 def _candidate_pairs_raw(
-    docs: rd.Dataset, concurrency: int = 4, skip_counter=None
+    docs: rd.Dataset, concurrency: int | None = None, skip_counter=None
 ) -> rd.Dataset:
     """LSH candidate (doc_a, doc_b) pairs, UNdeduped — a pair appears once per
     shared band. One groupby shuffle keyed on a hash BUCKET of the band key so
     each reduce handles a whole bucket of groups with one vectorized pass."""
     n_buckets = n_buckets_for(floor=32)
-    # autoscaling pool (min 1): a fixed pool of `concurrency` actors could
-    # reserve every CPU of a small session and starve the downstream
-    # groupby shuffle (deadlock) — see ray_guide actor-pool sizing note
+    # TASK-form signature stage, not an actor pool. The permutation params
+    # are microseconds to build (a seeded PCG64 draw) and are cached once
+    # per WORKER PROCESS below — the actor pool bought nothing here and
+    # measured badly twice in the round-5 op-scaling pairs: a constant
+    # concurrency=4 cap serialized the stage at 16+ CPUs, and the
+    # autoscaling (1, cluster) pool NEVER scaled past one actor (61.5 cpu-s
+    # of signatures ran in a 61.6 s span at 16 CPUs — ds.stats() evidence
+    # in BASELINE.md round-5 per-op scaling). Tasks inherit the full
+    # cluster's parallelism with zero pool-sizing risk. `concurrency`, when
+    # given, still bounds the stage (tests use it to pin determinism).
     lsh = docs.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
+        _minhash_rows,
+        batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -150,7 +191,7 @@ def _candidate_pairs_raw(
     )
 
 
-def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
     """LSH candidate (doc_a, doc_b) pairs, deduped (one extra bucketed
     shuffle; the verify pipeline skips it by deduping inside its own
     pair-keyed shuffle instead)."""
@@ -200,8 +241,23 @@ def _read_docs(docs_path: str, columns: list[str]) -> rd.Dataset:
 
 
 def minhash_verified_pairs(
-    docs_path: str, threshold: float = 0.8, shingle_k: int = 5, concurrency: int = 4,
+    docs_path: str, threshold: float = 0.8, shingle_k: int = 5,
+    concurrency: int | None = None,
     skip_counter=None,
+) -> rd.Dataset:
+    """Near-dup pairs with exact Jaccard ≥ threshold, LSH-pruned — built
+    under runtime.no_op_reservation (three-barrier plan; the default
+    per-operator reservation starves the signature map at 4.7× measured)."""
+    from ..runtime import no_op_reservation
+
+    with no_op_reservation():
+        return _minhash_verified_pairs(
+            docs_path, threshold, shingle_k, concurrency, skip_counter
+        )
+
+
+def _minhash_verified_pairs(
+    docs_path: str, threshold: float, shingle_k: int, concurrency, skip_counter
 ) -> rd.Dataset:
     """Near-dup pairs with exact Jaccard ≥ threshold, LSH-pruned.
 

@@ -86,3 +86,33 @@ def report_skips(
     )
     if skip_counter is not None:
         ray.get(skip_counter.report.remote(where, int(slot), n_buckets, n_rows))
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def no_op_reservation():
+    """Scope that builds datasets with the streaming executor's per-operator
+    resource reservation DISABLED.
+
+    Ray 2.49's ReservationOpResourceAllocator splits the cluster between all
+    eligible operators of a plan; in a multi-barrier plan (e.g. the MinHash
+    pipeline's three Sort rounds) the ONLY runnable upstream map gets ~1/n_ops
+    of the CPUs even though every other operator is blocked on its barrier —
+    measured 37.5 s → 8.2 s (identical output) on minhash over 100k docs at
+    16 CPUs (BASELINE.md round-5 per-op scaling). Barrier-dominated plans
+    have at most one runnable map stage at a time, so free competition is
+    safe there. The DataContext is captured per-dataset at CREATION time, so
+    this scope affects exactly the datasets built inside it and nothing else
+    in the session.
+    """
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    prev = ctx.op_resource_reservation_enabled
+    ctx.op_resource_reservation_enabled = False
+    try:
+        yield
+    finally:
+        ctx.op_resource_reservation_enabled = prev
