@@ -226,17 +226,40 @@ def _read_docs(docs_path: str, columns: list[str]) -> rd.Dataset:
     rounds downstream, per-task fixed overhead then dominates wall time
     (measured 2× at sf0.1). Inputs ≥ cpus × 32 MB keep Ray's native
     size-based splitting — at cluster scale the override must not fire."""
+    import glob as _glob
     import os
 
     nb = None
     try:
-        sz = os.path.getsize(docs_path)
+        files = (
+            sorted(_glob.glob(os.path.join(docs_path, "*.parquet")))
+            if os.path.isdir(docs_path)
+            else [docs_path]
+        )
+        sz = sum(os.path.getsize(f) for f in files)
     except OSError:
-        sz = None
+        files, sz = [], None
     if sz is not None and ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
         if sz < cpus * (32 << 20):
-            nb = max(8, min(cpus, 64))
+            # Block count from parquet metadata rows, not from cpus alone:
+            # the signature kernel is ~0.9 ms/doc, so a cpus-matched block
+            # count (one task per core) turns intra-file row-group skew
+            # straight into straggler wall time — ds.stats() at 300k docs /
+            # 16 CPUs showed 16 tasks of 10.2–24.2 s with the 24.2 s
+            # straggler AS the wall (BASELINE.md round-5 per-op scaling).
+            # ~4 blocks/cpu lets the scheduler level the skew; the ~2.5k-row
+            # floor keeps per-task fixed costs amortized at sf0.1 scale.
+            try:
+                import pyarrow.parquet as pq
+
+                rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            except Exception:
+                rows = None
+            if rows is not None:
+                nb = max(8, min(4 * cpus, rows // 2500))
+            else:
+                nb = max(8, min(cpus, 64))
     return rd.read_parquet(docs_path, columns=columns, override_num_blocks=nb)
 
 
