@@ -179,23 +179,61 @@ def curate_corpus(
     pack_budget: int = 512,
     drop_broadcast_max: int = 2_000_000,
 ) -> dict:
-    """Run the curation pipeline; returns per-stage lineage counts."""
+    """Run the curation pipeline; returns per-stage lineage counts
+    (plus ``stage_secs`` wall-clock telemetry per stage).
+
+    Built under runtime.no_op_reservation: every stage's plan is
+    barrier-dominated (exact-dedup sort, LSH band sorts, CC rounds, the
+    pack-plan range sort), so at most one map operator is runnable at a
+    time and Ray 2.49's per-operator reservation would hand it ~1/n_ops
+    of the cluster (measured 4.7x on the minhash stage, runtime.py)."""
+    from ..runtime import no_op_reservation
+
+    with no_op_reservation():
+        return _curate_corpus(
+            sf_dir, out_dir, keep_lang, quality_pct, minhash_threshold,
+            pack_budget, drop_broadcast_max,
+        )
+
+
+def _curate_corpus(
+    sf_dir: str,
+    out_dir: str,
+    keep_lang: str,
+    quality_pct: int,
+    minhash_threshold: float,
+    pack_budget: int,
+    drop_broadcast_max: int,
+) -> dict:
     from .cc import connected_components
     from .dedup import exact_dedup_first, minhash_verified_pairs
     from .queries import _gram_hashes
     from .scan import pack_bins, prefix_sum
+
+    import time as _time
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     clean_dir = os.path.join(out_dir, "clean")
     docs_dir = os.path.join(out_dir, "docs")
     plan_dir = os.path.join(out_dir, "plan")
     counter = _CurateCounter.remote()
+    stage_secs: dict[str, float] = {}
+    _t = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = _time.time()
+        stage_secs[stage] = round(now - _t, 3)
+        _t = now
 
     # ---- stage A: lang + quality filter (fused) → exact dedup → clean/ ----
     if not os.path.exists(_done(clean_dir)):
         _fresh_stage_dir(clean_dir)
-        ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+        from ..runtime import read_docs_split
+
+        ds = read_docs_split(docs_path, ["doc_id", "text", "lang"])
         threshold = _quality_threshold(ds, quality_pct)
+        _mark("a_threshold")
 
         def lang_quality(b: pa.Table) -> pa.Table:
             n_in = b.num_rows
@@ -219,6 +257,7 @@ def curate_corpus(
         deduped.write_parquet(clean_dir)
         _ensure_parquet_dir(clean_dir, {"doc_id": pa.int64(), "text": pa.string()})
         open(_done(clean_dir), "w").write("ok")
+    _mark("a_clean_write")
 
     clean_glob = clean_dir  # read_parquet accepts the directory
     clean = rd.read_parquet(clean_glob, columns=["doc_id", "text"])
@@ -261,6 +300,7 @@ def curate_corpus(
                 # large drop set: bucketed anti-join — ids stay distributed
                 base = _anti_join_drop(clean, drop_ds)
         ray.get(counter.add.remote("minhash_dropped", n_drop))
+        _mark("b_neardup")
 
         # ---- stage C: decontaminate + drop non-survivors → docs/ + plan/ ----
 
@@ -277,6 +317,7 @@ def curate_corpus(
             else np.array([], dtype=np.uint64)
         )
         refs = ray.put((bset, drop))
+        _mark("c_bench_grams")
 
         def final_filter(b: pa.Table) -> pa.Table:
             bset, drop = ray.get(refs)
@@ -306,6 +347,7 @@ def curate_corpus(
             {"doc_id": pa.int64(), "text": pa.string(), "n_tokens": pa.int64()},
         )
         open(_done(docs_dir), "w").write("ok")
+    _mark("c_final_write")
 
     if not os.path.exists(_done(plan_dir)):
         _fresh_stage_dir(plan_dir)
@@ -317,6 +359,7 @@ def curate_corpus(
             {"doc_id": pa.int64(), "n_tokens": pa.int64(), "bin": pa.int64()},
         )
         open(_done(plan_dir), "w").write("ok")
+    _mark("d_plan")
 
     metrics = ray.get(counter.get.remote())
     # Retry caveat: the streamed counter values (input / lang_kept /
@@ -328,6 +371,7 @@ def curate_corpus(
     metrics["final_kept"] = rd.read_parquet(docs_dir, columns=["doc_id"]).count()
     plan = rd.read_parquet(plan_dir, columns=["bin"]).to_pandas()
     metrics["n_bins"] = int(plan["bin"].nunique()) if "bin" in plan.columns else 0
+    metrics["stage_secs"] = stage_secs
     return metrics
 
 

@@ -221,46 +221,10 @@ def minhash_candidate_pairs(docs: rd.Dataset, concurrency: int | None = None) ->
 
 
 def _read_docs(docs_path: str, columns: list[str]) -> rd.Dataset:
-    """Column-pruned docs read with a CPU-matched block count for small
-    inputs. Ray splits even a sub-MB file into 64+ blocks; with three sort
-    rounds downstream, per-task fixed overhead then dominates wall time
-    (measured 2× at sf0.1). Inputs ≥ cpus × 32 MB keep Ray's native
-    size-based splitting — at cluster scale the override must not fire."""
-    import glob as _glob
-    import os
+    """Shared splittable docs read — see runtime.read_docs_split."""
+    from ..runtime import read_docs_split
 
-    nb = None
-    try:
-        files = (
-            sorted(_glob.glob(os.path.join(docs_path, "*.parquet")))
-            if os.path.isdir(docs_path)
-            else [docs_path]
-        )
-        sz = sum(os.path.getsize(f) for f in files)
-    except OSError:
-        files, sz = [], None
-    if sz is not None and ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        if sz < cpus * (32 << 20):
-            # Block count from parquet metadata rows, not from cpus alone:
-            # the signature kernel is ~0.9 ms/doc, so a cpus-matched block
-            # count (one task per core) turns intra-file row-group skew
-            # straight into straggler wall time — ds.stats() at 300k docs /
-            # 16 CPUs showed 16 tasks of 10.2–24.2 s with the 24.2 s
-            # straggler AS the wall (BASELINE.md round-5 per-op scaling).
-            # ~4 blocks/cpu lets the scheduler level the skew; the ~2.5k-row
-            # floor keeps per-task fixed costs amortized at sf0.1 scale.
-            try:
-                import pyarrow.parquet as pq
-
-                rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-            except Exception:
-                rows = None
-            if rows is not None:
-                nb = max(8, min(4 * cpus, rows // 2500))
-            else:
-                nb = max(8, min(cpus, 64))
-    return rd.read_parquet(docs_path, columns=columns, override_num_blocks=nb)
+    return read_docs_split(docs_path, columns)
 
 
 def minhash_verified_pairs(

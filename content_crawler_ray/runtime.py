@@ -88,6 +88,50 @@ def report_skips(
         ray.get(skip_counter.report.remote(where, int(slot), n_buckets, n_rows))
 
 
+
+def read_docs_split(docs_path: str, columns: list[str]):
+    """Column-pruned parquet read with a row-count-derived block count for
+    small inputs (shared by the dedup pipelines and curate's stage A).
+
+    Two failure modes this guards (both measured, BASELINE.md round-5
+    per-op scaling):
+      - Ray splits even a sub-MB file into 64+ blocks; with sort rounds
+        downstream, per-task fixed overhead then dominates (2x at sf0.1).
+      - A cpus-matched block count turns intra-file row-group skew into
+        straggler wall (16 tasks of 10.2-24.2 s at 300k docs / 16 CPUs,
+        the straggler = the wall). ~4 blocks/cpu lets the scheduler level
+        the skew; a ~2.5k-row floor keeps per-task fixed costs amortized.
+    Inputs >= cpus x 32 MB keep Ray's native size-based splitting - at
+    cluster scale the override must not fire."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    nb = None
+    try:
+        files = (
+            sorted(_glob.glob(os.path.join(docs_path, "*.parquet")))
+            if os.path.isdir(docs_path)
+            else [docs_path]
+        )
+        sz = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        files, sz = [], None
+    if sz is not None and ray.is_initialized():
+        cpus = cluster_cpus()
+        if sz < cpus * (32 << 20):
+            try:
+                import pyarrow.parquet as pq
+
+                rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            except Exception:
+                rows = None
+            if rows is not None:
+                nb = max(8, min(4 * cpus, rows // 2500))
+            else:
+                nb = max(8, min(cpus, 64))
+    return rd.read_parquet(docs_path, columns=columns, override_num_blocks=nb)
+
 from contextlib import contextmanager  # noqa: E402
 
 

@@ -243,8 +243,20 @@ def ensure_documents(n_docs: int, seed: int = 42, cache_dir: str = "/tmp/ccray")
 
     d = os.path.join(cache_dir, f"docs_{n_docs}_{seed}")
     path = os.path.join(d, "documents.parquet")
+    # Row groups of ~4k rows make the file READ-splittable: a single-row-group
+    # 100 MB file serializes the read task (and with it any pass whose plan
+    # starts at the read), measured as the near-serial quality-threshold
+    # pre-pass in curate@300k (BASELINE.md round-5 per-op scaling).
+    rg = 4096
+    if os.path.exists(path):
+        try:
+            md = pq.ParquetFile(path).metadata
+            if md.num_rows > 2 * rg and md.num_row_groups <= 1:
+                os.remove(path)  # stale single-row-group layout: rewrite
+        except Exception:
+            pass
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
-        pq.write_table(make_documents(n_docs, seed), path + ".tmp")
+        pq.write_table(make_documents(n_docs, seed), path + ".tmp", row_group_size=rg)
         os.replace(path + ".tmp", path)
     return d
