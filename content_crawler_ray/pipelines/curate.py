@@ -26,8 +26,12 @@ Execution shape (designed for 100 TB, tested at sandbox scale):
            a planted high-density near-dup input.
   stage C  ONE streaming pass over ``clean/``: drop benchmark docs
            (doc_id % 97 == 0 — the held-out eval stand-in, matching
-           q_decontaminate) and docs sharing a word-4-gram with them
-           (broadcast gram-hash semi-join), drop MinHash non-survivors,
+           q_decontaminate) and docs sharing a word-4-gram with them —
+           broadcast gram-hash ``np.isin`` while the bench gram set is
+           ≤ ``gram_broadcast_max`` hashes, AUTO-SWITCHING to a gram-key
+           bucketed semi-join past it (``_gram_semi_join_ids``) so the
+           gram set never gathers on the driver — drop MinHash
+           non-survivors,
            persist the kept docs to ``<out>/docs/``; then the
            range-partitioned prefix sum assigns token-budget bins and the
            packing PLAN (doc_id, n_tokens, bin) lands in ``<out>/plan/``.
@@ -170,6 +174,92 @@ def _anti_join_drop(clean: rd.Dataset, drop_ds: rd.Dataset) -> rd.Dataset:
     return tagged.groupby("_b").map_groups(anti, batch_format="pandas")
 
 
+def _gram_semi_join_ids(clean: rd.Dataset, bench_grams_ds: rd.Dataset) -> rd.Dataset:
+    """DISTINCT non-benchmark doc_ids sharing a word-4-gram with the
+    benchmark gram set (column ``h``) — gram-key bucketed semi-join, the
+    at-scale twin of stage C's broadcast ``np.isin`` contamination check.
+    Two exchanges: gram-hash buckets resolve membership, then a tiny
+    doc_id-bucketed pass dedups docs contaminated via grams that landed in
+    different buckets (so the lineage count matches the broadcast branch
+    exactly)."""
+    from ..functions.hashing import splitmix64
+    from ..runtime import n_buckets_for
+    from .queries import _gram_hashes
+
+    n_buckets = n_buckets_for()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("h", pa.uint64()),
+            ("_side", pa.int8()),
+            ("_b", pa.int64()),
+        ]
+    )
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 97 != 0))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, h = _gram_hashes(b)
+        d = ids[doc_idx] if len(doc_idx) else np.array([], np.int64)
+        h = h.astype(np.uint64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(d, pa.int64()),
+                pa.array(h, pa.uint64()),
+                pa.array(np.zeros(len(h), np.int8), pa.int8()),
+                pa.array((splitmix64(h) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    def bench_side(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(n, -1, np.int64), pa.int64()),
+                pa.array(h, pa.uint64()),
+                pa.array(np.ones(n, np.int8), pa.int8()),
+                pa.array((splitmix64(h) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    tagged = clean.map_batches(doc_side, batch_format="pyarrow").union(
+        bench_grams_ds.map_batches(bench_side, batch_format="pyarrow")
+    )
+
+    def semi(g: pd.DataFrame) -> pa.Table:
+        bh = g.loc[g["_side"] == 1, "h"].to_numpy()
+        lt = g[g["_side"] == 0]
+        hit = lt.loc[lt["h"].isin(bh), "doc_id"].unique()
+        return pa.table({"node": pa.array(hit.astype(np.int64), pa.int64())})
+
+    hits = tagged.groupby("_b").map_groups(semi, batch_format="pandas")
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        k = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(k, pa.int64()),
+                "_b": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def uniq(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"node": pa.array(np.unique(g["node"].to_numpy()), pa.int64())})
+
+    return (
+        hits.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
 def curate_corpus(
     sf_dir: str,
     out_dir: str,
@@ -178,6 +268,7 @@ def curate_corpus(
     minhash_threshold: float = 0.8,
     pack_budget: int = 512,
     drop_broadcast_max: int = 2_000_000,
+    gram_broadcast_max: int = 5_000_000,
 ) -> dict:
     """Run the curation pipeline; returns per-stage lineage counts
     (plus ``stage_secs`` wall-clock telemetry per stage).
@@ -192,7 +283,7 @@ def curate_corpus(
     with no_op_reservation():
         return _curate_corpus(
             sf_dir, out_dir, keep_lang, quality_pct, minhash_threshold,
-            pack_budget, drop_broadcast_max,
+            pack_budget, drop_broadcast_max, gram_broadcast_max,
         )
 
 
@@ -204,6 +295,7 @@ def _curate_corpus(
     minhash_threshold: float,
     pack_budget: int,
     drop_broadcast_max: int,
+    gram_broadcast_max: int,
 ) -> dict:
     from .cc import connected_components
     from .dedup import exact_dedup_first, minhash_verified_pairs
@@ -310,32 +402,44 @@ def _curate_corpus(
                 {"h": pa.array(_gram_hashes(b.filter(pa.array(m)))[1], pa.uint64())}
             )
 
-        bg = clean.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
-        bset = (
-            np.unique(bg["h"].to_numpy().astype(np.uint64))
-            if "h" in bg.columns and len(bg)
-            else np.array([], dtype=np.uint64)
-        )
-        refs = ray.put((bset, drop))
+        bg_ds = clean.map_batches(bench_grams, batch_format="pyarrow").materialize()
+        bset = np.array([], dtype=np.uint64)
+        check_grams = False
+        if bg_ds.count() <= gram_broadcast_max:
+            # small bench gram set: driver gather + broadcast np.isin inside
+            # the fused final filter (one pass, no extra shuffle)
+            bg = bg_ds.to_pandas()
+            if "h" in bg.columns and len(bg):
+                bset = np.unique(bg["h"].to_numpy().astype(np.uint64))
+                check_grams = True
+        else:
+            # large bench gram set: gram-key bucketed semi-join — the gram
+            # hashes stay distributed; contaminated ids join the drop path
+            contaminated = _gram_semi_join_ids(clean, bg_ds).materialize()
+            n_contam = contaminated.count()
+            ray.get(counter.add.remote("contaminated_dropped", n_contam))
+            if n_contam:
+                base = _anti_join_drop(base, contaminated)
+        refs = ray.put((bset, drop, check_grams))
         _mark("c_bench_grams")
 
         def final_filter(b: pa.Table) -> pa.Table:
-            bset, drop = ray.get(refs)
+            bset, drop, check_grams = ray.get(refs)
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             keep = ids % 97 != 0  # benchmark rows never train
-            doc_idx, h = _gram_hashes(b)
-            contaminated = np.zeros(b.num_rows, dtype=bool)
-            if len(h):
-                np.logical_or.at(contaminated, doc_idx, np.isin(h, bset))
-            n_contam = int((keep & contaminated).sum())
-            keep &= ~contaminated
+            counts = {}
+            if check_grams:  # broadcast branch only; semi-join branch
+                # already removed contaminated rows from `base` upstream
+                doc_idx, h = _gram_hashes(b)
+                contaminated = np.zeros(b.num_rows, dtype=bool)
+                if len(h):
+                    np.logical_or.at(contaminated, doc_idx, np.isin(h, bset))
+                counts["contaminated_dropped"] = int((keep & contaminated).sum())
+                keep &= ~contaminated
             keep &= ~np.isin(ids, drop)
             b = b.filter(pa.array(keep))
-            ray.get(
-                counter.add_many.remote(
-                    {"contaminated_dropped": n_contam, "final_kept": b.num_rows}
-                )
-            )
+            counts["final_kept"] = b.num_rows
+            ray.get(counter.add_many.remote(counts))
             return b.append_column("n_tokens", T.token_counts(b["text"]))
 
         # bench_grams always scans the FULL clean set (branch-invariant gram

@@ -155,3 +155,52 @@ def test_curate_all_filtered_degrades_to_empty(ray_session, tmp_path):
     m = curate_corpus(str(tmp_path), out)
     assert m["lang_kept"] == 0 and m["n_clean"] == 0 and m["n_bins"] == 0
     assert read_plan(out).count() == 0
+
+
+def test_curate_gram_semijoin_branch_matches_broadcast(ray_session, tmp_path):
+    """Planted contamination: benchmark docs (id % 97 == 0) share a 4-gram
+    run with half the corpus. Forcing gram_broadcast_max=0 routes the
+    decontamination through the gram-key bucketed semi-join; the corpus and
+    the contaminated_dropped lineage count must match the broadcast branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    filler = (
+        "plain ordinary text with enough common english words to pass the "
+        "language and the quality filters without tripping anything else "
+    )
+    bench_phrase = "the secret held out benchmark evaluation phrase is in the text and "
+    rows_id, rows_text = [], []
+    for j in range(1, 320):
+        rows_id.append(j)
+        if j % 97 == 0:  # benchmark rows: ONLY the planted phrase (no
+            # filler grams, so only docs containing the phrase are
+            # contaminated), repeated enough to clear the 10th-percentile
+            # quality filter
+            rows_text.append(bench_phrase * 20)
+        elif j % 2 == 0:  # half the corpus is contaminated by that phrase
+            rows_text.append(filler * 2 + bench_phrase + f" tail {j} " + filler)
+        else:
+            rows_text.append(filler * 3 + f" unique marker {j} words here ")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_text, pa.string()),
+            "lang": pa.array(["en"] * len(rows_id), pa.string()),
+            "source": pa.array(["t"] * len(rows_id), pa.string()),
+            "n_chars": pa.array([len(t) for t in rows_text], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    a, b = str(tmp_path / "bcast"), str(tmp_path / "semi")
+    ma = curate_corpus(str(tmp_path), a)
+    mb = curate_corpus(str(tmp_path), b, gram_broadcast_max=0)
+    assert ma["contaminated_dropped"] == mb["contaminated_dropped"] > 50
+    da, db = (
+        rd.read_parquet(os.path.join(d, "docs"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for d in (a, b)
+    )
+    pd.testing.assert_frame_equal(da, db)
