@@ -1575,7 +1575,11 @@ QUERIES: dict[str, tuple] = {
 def q_s2_key_paged(sf_dir: str):
     from ..sources.paged import read_key_paged
 
-    n_docs = 500  # documents table is fixed-size across sf tiers
+    import pyarrow.parquet as _pq
+
+    # key-space size from the parquet footer (doc_id is 0..n-1 dense) — a
+    # fixed 500 silently truncated the sf0.1 tier's 5000-row table
+    n_docs = _pq.ParquetFile(_p(sf_dir, "documents")).metadata.num_rows
     return read_key_paged(
         _p(sf_dir, "documents"), key="doc_id", n_keys=n_docs, page_size=20,
         columns=["doc_id"],
