@@ -3793,6 +3793,125 @@ QUERIES["q_unigram_logprob"] = (q_unigram_logprob, SQL_UNIGRAM_LOGPROB)
 
 
 # --------------------------------------------------------------------------
+# DSIR importance weights — Data Selection via Importance Resampling
+# (Xie et al. 2023, arXiv:2302.03169, public method): score every raw doc by
+# how much it resembles a TARGET distribution, as the log-likelihood ratio
+# of hashed-unigram features f = fnv64(token) % B between the target slice
+# (source = 'src0' here) and the full corpus, Laplace-smoothed. Scaling
+# shape: the feature space is FIXED at B=1024 buckets, so pass 1 is a
+# shuffle-free per-batch bincount + one tiny combine (O(B) rows reach the
+# driver regardless of corpus size) and pass 2 is a broadcast 8 KB LUT —
+# the op never moves the corpus. Integer-exact cross-engine: per-token
+# floor(1e6·ln(ratio)) sums, the q_unigram_logprob idiom; the smoothed
+# ratio is formed as a product-of-integers rational (exact in float64 at
+# any sandbox scale) so numpy and DuckDB floor the same double.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_TARGET = "src0"
+
+
+def q_dsir_weights(sf_dir: str):
+    """(doc_id, n_tokens, dsir_e6) — DSIR log-ratio importance weight."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _feats(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(row_of_token, feature_bucket) for every non-empty token."""
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        lens_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(b.num_rows), lens_all)[keep]
+        f = hash64_array(flat.filter(pa.array(keep))) % np.uint64(_DSIR_B)
+        return row_of, f.astype(np.int64)
+
+    def feat_partial(b: pa.Table) -> pa.Table:
+        row_of, f = _feats(b)
+        tgt_rows = (
+            b["source"].to_numpy(zero_copy_only=False) == _DSIR_TARGET
+        )
+        c_raw = np.bincount(f, minlength=_DSIR_B)
+        c_tgt = np.bincount(f[tgt_rows[row_of]], minlength=_DSIR_B)
+        return pa.table(
+            {
+                "f": pa.array(np.arange(_DSIR_B), pa.int64()),
+                "c_raw": pa.array(c_raw.astype(np.int64), pa.int64()),
+                "c_tgt": pa.array(c_tgt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        combine_partials(
+            ds.map_batches(feat_partial, batch_format="pyarrow"),
+            ["f"],
+            {"c_raw": "sum", "c_tgt": "sum"},
+        )
+        .to_pandas()
+        .set_index("f")
+        .reindex(np.arange(_DSIR_B), fill_value=0)
+    )
+    c_raw = counts["c_raw"].to_numpy().astype(np.int64)
+    c_tgt = counts["c_tgt"].to_numpy().astype(np.int64)
+    t_raw, t_tgt = int(c_raw.sum()), int(c_tgt.sum())
+    num = (c_tgt + 1).astype(np.float64) * float(t_raw + _DSIR_B)
+    den = (c_raw + 1).astype(np.float64) * float(t_tgt + _DSIR_B)
+    lut = ray.put(np.floor(1e6 * np.log(num / den)).astype(np.int64))
+
+    def score(b: pa.Table) -> pa.Table:
+        lr_e6 = ray.get(lut)
+        row_of, f = _feats(b)
+        out = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(out, row_of, lr_e6[f])
+        n_tok = np.bincount(row_of, minlength=b.num_rows).astype(np.int64)
+        m = n_tok > 0  # SQL's join+group drops zero-token docs
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(m)),
+                "n_tokens": pa.array(n_tok[m], pa.int64()),
+                "dsir_e6": pa.array(out[m], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source,
+         CAST({_sql_fnv('term')} % {_DSIR_B} AS BIGINT) AS f
+  FROM tok
+),
+cnt AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS BIGINT) AS c_tgt
+  FROM feat GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+         CAST(sum(c_tgt) AS BIGINT) AS t_tgt
+  FROM cnt
+),
+lut AS (
+  SELECT f, CAST(floor(1e6 * ln(
+           ((c_tgt + 1) * (t_raw + {_DSIR_B})) /
+           CAST((c_raw + 1) * (t_tgt + {_DSIR_B}) AS DOUBLE))) AS BIGINT) AS lr_e6
+  FROM cnt CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(lr_e6) AS dsir_e6
+FROM feat JOIN lut USING (f)
+GROUP BY doc_id
+"""
+
+QUERIES["q_dsir_weights"] = (q_dsir_weights, SQL_DSIR_WEIGHTS)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine
