@@ -3912,6 +3912,90 @@ QUERIES["q_dsir_weights"] = (q_dsir_weights, SQL_DSIR_WEIGHTS)
 
 
 # --------------------------------------------------------------------------
+# N-gram novelty — the corpus-overlap quality signal (how much of a doc is
+# boilerplate shared with OTHER docs): per doc, the count of its DISTINCT
+# word-4-grams and how many of them have corpus doc-frequency >= 2. One
+# gram-key bucketed shuffle (a (doc,gram) pair is bucket-local, so doc
+# frequency and the per-doc tallies are both bucket-exact), then the tiny
+# per-doc partial combine. The corpus text never moves — only distinct
+# (doc_id, gram_hash) pairs ride the exchange, the q_dedup_ngram shape.
+# Ray compares 64-bit FNV gram hashes where the twin compares gram strings
+# (the established ngram-jaccard/decontaminate equivalence).
+# --------------------------------------------------------------------------
+
+def q_gram_novelty(sf_dir: str):
+    """(doc_id, n_grams, n_shared) — distinct 4-grams and shared ones."""
+    from ..functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = n_buckets_for()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, h = _gram_hashes(b)
+        if len(doc_idx):
+            # a doc lives in exactly one batch, so batch-distinct (doc,
+            # gram) pairs are globally distinct
+            u = np.unique(
+                np.stack([ids[doc_idx], h.view(np.int64)], axis=1), axis=0
+            )
+        else:
+            u = np.empty((0, 2), np.int64)
+        hh = u[:, 1].copy().view(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(u[:, 0], pa.int64()),
+                "h": pa.array(hh, pa.uint64()),
+                "_b": pa.array(
+                    (splitmix64(hh) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("h")["doc_id"].transform("size")  # pairs distinct → df
+        tot = g.groupby("doc_id").size()
+        shr = g.loc[(d >= 2).to_numpy()].groupby("doc_id").size()
+        shr = shr.reindex(tot.index, fill_value=0)
+        return pa.table(
+            {
+                "doc_id": pa.array(tot.index.to_numpy(), pa.int64()),
+                "n_grams": pa.array(tot.to_numpy().astype(np.int64), pa.int64()),
+                "n_shared": pa.array(shr.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return combine_partials(partials, ["doc_id"], {"n_grams": "sum", "n_shared": "sum"})
+
+
+SQL_GRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {_DECON_GRAM - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM - 2})) AS u(i)
+),
+df AS (SELECT gram, count(*) AS d FROM grams GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE d >= 2) AS BIGINT) AS n_shared
+FROM grams JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+QUERIES["q_gram_novelty"] = (q_gram_novelty, SQL_GRAM_NOVELTY)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine
