@@ -94,3 +94,41 @@ def test_group_hll_within_five_pct_of_exact(ray_session, sf_dir):
     assert set(hll.index) == set(exact.index)
     rel = (hll - exact).abs() / exact
     assert (rel < 0.05).all(), rel.to_dict()
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session, tmp_path):
+    """Semantic contract on top of the exact oracle: docs written in the
+    target source's distinctive vocabulary must out-score docs that share
+    no vocabulary with it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from content_crawler_ray.pipelines.queries import q_dsir_weights
+
+    tgt_vocab = "astronomy telescope nebula quasar orbit spectrum "
+    web_vocab = "discount shipping checkout cart coupon promo "
+    rows = []
+    for j in range(40):
+        rows.append((j, tgt_vocab * 5, "src0"))          # the target slice
+    for j in range(40, 60):
+        rows.append((j, tgt_vocab * 4 + "extra words ", "srcX"))  # target-like
+    for j in range(60, 80):
+        rows.append((j, web_vocab * 5, "srcX"))          # dissimilar
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    w = q_dsir_weights(str(tmp_path)).to_pandas().set_index("doc_id")["dsir_e6"]
+    like = w.loc[40:59].mean()
+    unlike = w.loc[60:79].mean()
+    assert like > unlike, (like, unlike)
+    # dissimilar docs are strongly negative (every token unseen in target);
+    # target-like docs sit far above them even after the penalty their two
+    # novel tokens pay
+    assert unlike < 10 * like < 0 or like > 0
