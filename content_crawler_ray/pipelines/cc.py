@@ -61,7 +61,26 @@ def connected_components(
     Returns one ``(node, component)`` row per node appearing in >=1 edge,
     where component = the smallest node id reachable from it. Deterministic;
     node ids must be int64-representable.
+
+    Built under runtime.no_op_reservation for consistency with the other
+    barrier-dominated engines (runtime.py rationale). Measured NEUTRAL here
+    (53.6 s vs 53.5 s on q_dedup_clusters@sf0.1, 32 CPUs, min-of-2 A/B):
+    each CC round's plan is small enough that reservation never starves its
+    maps — unlike the minhash plan the wrap was introduced for.
     """
+    from ..runtime import no_op_reservation
+
+    with no_op_reservation():
+        return _connected_components(pairs, col_a, col_b, max_rounds, n_buckets)
+
+
+def _connected_components(
+    pairs: rd.Dataset,
+    col_a: str,
+    col_b: str,
+    max_rounds: int,
+    n_buckets: int | None,
+) -> rd.Dataset:
     n_buckets = n_buckets or n_buckets_for()
 
     def _bucket(k: np.ndarray) -> pa.Array:
