@@ -712,6 +712,44 @@ def test_connected_components_chain_multi_round(ray_session):
     assert len(comp) == 9 + 2 + 3
 
 
+def test_connected_components_random_graph_equals_union_find(ray_session):
+    """Adversarial guard for the alternating-star rewrite: a 64-node path
+    (worst case: many alternations), plus a seeded random graph, must match
+    a sequential union-find exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from content_crawler_ray.pipelines.cc import connected_components
+
+    rng = np.random.default_rng(7)
+    edges = [(i, i + 1) for i in range(63)]  # long path, ids 0..63
+    a = rng.integers(1000, 1400, size=300)
+    b = rng.integers(1000, 1400, size=300)
+    edges += [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    expect = {x: find(x) for x in parent}
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    out = connected_components(ds, n_buckets=5).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == expect
+
+
 def test_left_outer_join_zero_fills(ray_session, tmp_path):
     import duckdb
 
