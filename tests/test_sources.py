@@ -110,3 +110,40 @@ def test_yaml_config_loading(tmp_path):
     bad.write_text("crawl:\n  noSuchKnob: 1\n")
     with _pytest.raises(KeyError):
         load_config(str(bad))
+
+
+def test_ensure_documents_rewrites_single_row_group_cache(tmp_path):
+    """A cached fixture written with one giant row group (the pre-round-5
+    layout) must be rewritten into read-splittable row groups on next use."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from content_crawler_ray.sources.synth import ensure_documents, make_documents
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache + "/docs_20000_42", exist_ok=True)
+    legacy = cache + "/docs_20000_42/documents.parquet"
+    pq.write_table(make_documents(20000), legacy)  # single row group
+    assert pq.ParquetFile(legacy).metadata.num_row_groups == 1
+    d = ensure_documents(20000, cache_dir=cache)
+    md = pq.ParquetFile(os.path.join(d, "documents.parquet")).metadata
+    assert md.num_rows == 20000 and md.num_row_groups >= 4
+
+
+def test_read_docs_split_block_count(ray_session, tmp_path):
+    """Small inputs get a row-derived block count (neither 1 giant block nor
+    hundreds of tiny ones); the override must NOT fire for large inputs."""
+    import os  # noqa: F401  (symmetry with sibling test)
+
+    import pyarrow.parquet as pq
+
+    from content_crawler_ray.runtime import read_docs_split
+    from content_crawler_ray.sources.synth import make_documents
+
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(make_documents(30000), p, row_group_size=4096)
+    ds = read_docs_split(p, ["doc_id", "text"]).materialize()
+    nb = ds.num_blocks()
+    assert 8 <= nb <= 64  # rows//2500 = 12, bounded by [8, 4*cpus]
+    assert ds.count() == 30000
