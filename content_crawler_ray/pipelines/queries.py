@@ -3996,6 +3996,57 @@ QUERIES["q_gram_novelty"] = (q_gram_novelty, SQL_GRAM_NOVELTY)
 
 
 # --------------------------------------------------------------------------
+# Bottom-k uniform sample — the MERGEABLE exactly-k sampling primitive
+# (bottom-k sketch: the k rows with the smallest priority hash ARE a uniform
+# k-subset, and the union of two bottom-k sets' bottom-k is the bottom-k of
+# the union — so partial samples merge associatively across blocks/nodes,
+# unlike reservoir sampling which is order-dependent). Priority =
+# fnv64(str(doc_id)) — the one 64-bit hash in this repo with an exact
+# DuckDB twin that avoids INT128 overflow (splitmix64's 2^63-scale odd
+# constants overflow HUGEINT multiplication; measured, see round-5 notes).
+# Scale shape: each batch pre-prunes to its local bottom-k, so the global
+# sort+limit sees k rows per block, never the corpus.
+# --------------------------------------------------------------------------
+
+_BOTTOMK = 200
+
+
+def q_sample_bottomk(sf_dir: str):
+    """(doc_id, pri) — the exactly-200 uniform sample by bottom-k priority."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def local_bottomk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = hash64_array(pa.array(ids.astype("U"), pa.string())).view(np.int64)
+        if len(ids) > _BOTTOMK:
+            keep = np.argpartition(pri, _BOTTOMK)[:_BOTTOMK]
+            ids, pri = ids[keep], pri[keep]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "pri": pa.array(pri, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(local_bottomk, batch_format="pyarrow")
+        .sort(["pri", "doc_id"])
+        .limit(_BOTTOMK)
+    )
+
+
+SQL_SAMPLE_BOTTOMK = f"""
+SELECT doc_id,
+       CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                 ELSE h END AS BIGINT) AS pri
+FROM (
+  SELECT doc_id, {_sql_fnv("CAST(doc_id AS VARCHAR)")} AS h FROM documents
+)
+ORDER BY pri, doc_id
+LIMIT {_BOTTOMK}
+"""
+
+QUERIES["q_sample_bottomk"] = (q_sample_bottomk, SQL_SAMPLE_BOTTOMK)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine
