@@ -4047,6 +4047,65 @@ QUERIES["q_sample_bottomk"] = (q_sample_bottomk, SQL_SAMPLE_BOTTOMK)
 
 
 # --------------------------------------------------------------------------
+# Sketched quantiles — the fixed-memory complement to q_quantile_exact:
+# that path's histogram is O(value_range / W) driver rows, which works for
+# bounded integer domains but not for unbounded/continuous values at 100 TB.
+# This path estimates quantiles from a MERGEABLE deterministic bottom-m
+# uniform sample (priority = fnv64 of the row identity; the bottom-m of a
+# union is the bottom-m of the bottom-m's, so per-block partials merge
+# associatively) — memory is O(m) everywhere regardless of value domain,
+# rank error is the sampling error O(1/sqrt(m)) (~1.6% at m=4096, the
+# Chernoff bound pytest asserts a 5% ceiling against q_quantile_exact).
+# Rows-only by nature (a sampling estimator); pinned by the exact twin.
+# --------------------------------------------------------------------------
+
+_QSKETCH_M = 4096
+
+
+def q_quantile_sketch(sf_dir: str):
+    """(q_pct, value_cents_est) — p50/p95 of l_extendedprice from a
+    mergeable bottom-m sample."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def local(b: pa.Table) -> pa.Table:
+        v = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        key = (
+            b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(1 << 32)
+            + b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        pri = hash64_array(pa.array(key.astype("U"), pa.string())).view(np.int64)
+        if len(v) > _QSKETCH_M:
+            keep = np.argpartition(pri, _QSKETCH_M)[:_QSKETCH_M]
+            v, pri = v[keep], pri[keep]
+        return pa.table(
+            {"pri": pa.array(pri, pa.int64()), "v": pa.array(v.astype(np.int64), pa.int64())}
+        )
+
+    sample = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .sort("pri")
+        .limit(_QSKETCH_M)
+        .to_pandas()["v"]
+        .to_numpy()
+    )
+    sample.sort()
+    out = []
+    for pct in (50, 95):
+        k = max(0, -(-pct * len(sample) // 100) - 1)  # quantile_disc rank
+        out.append((pct, int(sample[k])))
+    return pa.table(
+        {
+            "q_pct": pa.array([o[0] for o in out], pa.int64()),
+            "value_cents_est": pa.array([o[1] for o in out], pa.int64()),
+        }
+    )
+
+
+QUERIES["q_quantile_sketch"] = (q_quantile_sketch, None)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine

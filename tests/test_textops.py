@@ -132,3 +132,24 @@ def test_dsir_weights_prefer_target_like_docs(ray_session, tmp_path):
     # target-like docs sit far above them even after the penalty their two
     # novel tokens pay
     assert unlike < 10 * like < 0 or like > 0
+
+
+def test_quantile_sketch_within_five_pct_of_exact(ray_session, sf_dir):
+    """Bottom-m sampled quantiles vs the exact order statistics: rank error
+    is O(1/sqrt(m)) ~ 1.6% at m=4096; assert a 5% VALUE ceiling (the price
+    distribution has no heavy point masses, so rank error ~ value error)."""
+    from content_crawler_ray.pipelines.queries import (
+        q_quantile_exact,
+        q_quantile_sketch,
+    )
+
+    exact = q_quantile_exact(sf_dir)
+    exact = (exact.to_pandas() if hasattr(exact, "to_pandas") else exact)
+    if not hasattr(exact, "set_index"):
+        exact = exact.to_pandas()
+    est = q_quantile_sketch(sf_dir).to_pandas()
+    e = dict(zip(exact.iloc[:, 0], exact.iloc[:, 1]))
+    g = dict(zip(est["q_pct"], est["value_cents_est"]))
+    for pct in (50, 95):
+        rel = abs(g[pct] - e[pct]) / e[pct]
+        assert rel < 0.05, (pct, g[pct], e[pct], rel)
