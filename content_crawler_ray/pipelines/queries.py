@@ -4106,6 +4106,66 @@ QUERIES["q_quantile_sketch"] = (q_quantile_sketch, None)
 
 
 # --------------------------------------------------------------------------
+# PII redaction — the privacy-scrub transform every production curation
+# pipeline runs before training (emails, IPv4s, US-style phone numbers →
+# typed placeholder tokens), plus the per-doc redaction count for lineage.
+# Shuffle-free single pass; both engines execute the SAME RE2 patterns
+# (pyarrow's replace_substring_regex and DuckDB's regexp_replace are both
+# RE2), so the oracle equality covers the regex semantics themselves, not
+# just the plumbing. Patterns apply in a fixed order (email → ip → phone)
+# in both engines; counts are summed BEFORE any replacement so overlapping
+# pattern classes can't double-shift each other.
+# --------------------------------------------------------------------------
+
+_PII_PATTERNS = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def q_pii_scrub(sf_dir: str):
+    """(doc_id, text_clean, n_redactions) — PII-scrubbed corpus text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["text"], pa.string())
+        n = np.zeros(b.num_rows, dtype=np.int64)
+        for pat, _rep in _PII_PATTERNS:
+            n += pc.count_substring_regex(t, pat).to_numpy(zero_copy_only=False)
+        for pat, rep in _PII_PATTERNS:
+            t = pc.replace_substring_regex(t, pat, rep)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_clean": t,
+                "n_redactions": pa.array(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def _sql_pii() -> str:
+    clean = "text"
+    counts = []
+    for pat, rep in _PII_PATTERNS:
+        sql_pat = pat.replace("\\", "\\").replace("'", "''")
+        counts.append(f"len(regexp_extract_all(text, '{sql_pat}'))")
+        clean = f"regexp_replace({clean}, '{sql_pat}', '{rep}', 'g')"
+    return f"""
+SELECT doc_id, {clean} AS text_clean,
+       CAST({' + '.join(counts)} AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+SQL_PII_SCRUB = _sql_pii()
+
+QUERIES["q_pii_scrub"] = (q_pii_scrub, SQL_PII_SCRUB)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine

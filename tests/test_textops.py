@@ -153,3 +153,39 @@ def test_quantile_sketch_within_five_pct_of_exact(ray_session, sf_dir):
     for pct in (50, 95):
         rel = abs(g[pct] - e[pct]) / e[pct]
         assert rel < 0.05, (pct, g[pct], e[pct], rel)
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """Planted PII: both engines must redact the same spans — the oracle on
+    real testdata is trivially green (no PII there), so this is the test
+    that actually exercises the patterns, cross-checked against DuckDB."""
+    import duckdb
+
+    from content_crawler_ray.pipelines.queries import SQL_PII_SCRUB, q_pii_scrub
+
+    texts = [
+        "contact bob.smith+spam@example.co.uk for details",
+        "server at 192.168.1.254 answered then 10.0.0.1 timed out",
+        "call 555-867-5309 or 555 123 4567 today",
+        "clean text with no pii at all",
+        "mixed: a@b.io on 8.8.8.8 phone 111-222-3333",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 6)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    got = q_pii_scrub(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.sql(SQL_PII_SCRUB).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["text_clean"].tolist() == exp["text_clean"].tolist()
+    assert got["n_redactions"].tolist() == exp["n_redactions"].tolist()
+    assert got["n_redactions"].tolist() == [1, 2, 2, 0, 3]
+    assert "<EMAIL>" in got.loc[0, "text_clean"]
+    assert got.loc[1, "text_clean"].count("<IP>") == 2
+    assert "<PHONE>" in got.loc[2, "text_clean"]
