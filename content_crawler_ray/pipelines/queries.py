@@ -4166,6 +4166,85 @@ QUERIES["q_pii_scrub"] = (q_pii_scrub, SQL_PII_SCRUB)
 
 
 # --------------------------------------------------------------------------
+# Cross-source leakage matrix — how much DISTINCT word-4-gram vocabulary
+# each pair of sources shares (the corpus-mixing diagnostic: high overlap
+# between a "held-out" source and a training source means the mixture
+# leaks). One gram-key bucketed shuffle: a gram lives in exactly ONE
+# bucket, so the per-bucket (source, gram) dedup is globally exact and the
+# per-bucket pair counts are partials of the true matrix; the combine is
+# O(|sources|²) rows. The corpus text never moves — only distinct
+# (source, gram_hash) rows ride the exchange.
+# --------------------------------------------------------------------------
+
+def q_source_leakage(sf_dir: str):
+    """(source_a, source_b, n_shared_grams) for source_a < source_b."""
+    from ..functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    n_buckets = n_buckets_for()
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_numpy(zero_copy_only=False)
+        doc_idx, h = _gram_hashes(b)
+        src = srcs[doc_idx] if len(doc_idx) else np.array([], dtype=object)
+        df = pd.DataFrame({"source": src, "h": h.astype(np.uint64)}).drop_duplicates()
+        hh = df["h"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
+                "h": pa.array(hh, pa.uint64()),
+                "_b": pa.array(
+                    (splitmix64(hh) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g[["source", "h"]].drop_duplicates()
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        out = m.groupby(["source_a", "source_b"], as_index=False).size()
+        return pa.table(
+            {
+                "source_a": pa.array(out["source_a"].to_numpy(), pa.string()),
+                "source_b": pa.array(out["source_b"].to_numpy(), pa.string()),
+                "n_shared_grams": pa.array(
+                    out["size"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return combine_partials(
+        partials, ["source_a", "source_b"], {"n_shared_grams": "sum"}
+    )
+
+
+SQL_SOURCE_LEAKAGE = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(t, i, i + {_DECON_GRAM - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM - 2})) AS u(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+QUERIES["q_source_leakage"] = (q_source_leakage, SQL_SOURCE_LEAKAGE)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine
