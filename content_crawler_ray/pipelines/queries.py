@@ -963,11 +963,64 @@ def q_dedup_ngram_jaccard(sf_dir: str):
         return out
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cols = g[["g", "source", "doc_id", "n"]]
-        m = cols.merge(cols, on=["g", "source"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False, sort=False).agg(
-            ninter=("g", "size"), na=("n_a", "first"), nb=("n_b", "first")
+        # Factorized-numpy pair generation. The original pandas
+        # self-merge on (g, source) was measured at 25.0 s on one real
+        # sf0.1 bucket (21.4k gram rows → 592k pairs) vs 0.275 s for this
+        # kernel, identical output (90×): the merge materialized 5 wide
+        # columns × Σd² rows including duplicated string keys, where this
+        # path touches only int64 arrays. Group key is exact (two-step
+        # factorize, no hash collision); per-group (i<j) index pairs come
+        # from one triu_indices template per DISTINCT group size.
+        gc = pd.factorize(g["g"].to_numpy(), sort=False)[0]
+        sc, src_u = pd.factorize(g["source"].to_numpy(), sort=False)
+        key = gc.astype(np.int64) * len(src_u) + sc
+        order = np.argsort(key, kind="stable")
+        kk = key[order]
+        doc = g["doc_id"].to_numpy()[order]
+        nn = g["n"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        d = np.diff(np.r_[starts, len(kk)])
+        total = int((d * (d - 1) // 2).sum())
+        idx_i = np.empty(total, np.int64)
+        idx_j = np.empty(total, np.int64)
+        pos = 0
+        for dv in np.unique(d):
+            if dv < 2:
+                continue
+            base = starts[d == dv]
+            iu, ju = np.triu_indices(int(dv), k=1)
+            ii = (base[:, None] + iu[None, :]).ravel()
+            jj = (base[:, None] + ju[None, :]).ravel()
+            idx_i[pos : pos + len(ii)] = ii
+            idx_j[pos : pos + len(jj)] = jj
+            pos += len(ii)
+        a_, b_ = doc[idx_i], doc[idx_j]
+        sw = a_ > b_
+        lo = np.where(sw, b_, a_)
+        hi = np.where(sw, a_, b_)
+        na_ = np.where(sw, nn[idx_j], nn[idx_i])
+        nb_ = np.where(sw, nn[idx_i], nn[idx_j])
+        keep = lo != hi  # same doc sharing a gram with itself: not a pair
+        lo, hi, na_, nb_ = lo[keep], hi[keep], na_[keep], nb_[keep]
+        if len(hi) == 0 or hi.max() < (1 << 32):
+            pk = lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64)
+            u, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
+            ua = (u >> np.uint64(32)).astype(np.int64)
+            ub = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:  # ids past 2^32 (cluster-scale id spaces): 2-column unique
+            m = np.stack([lo, hi], axis=1)
+            u2, inv, cnt = np.unique(m, axis=0, return_inverse=True, return_counts=True)
+            ua, ub = u2[:, 0], u2[:, 1]
+        rep = np.zeros(len(cnt), np.int64)
+        rep[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)  # any occurrence: n is doc-constant
+        agg = pd.DataFrame(
+            {
+                "doc_id_a": ua,
+                "doc_id_b": ub,
+                "ninter": cnt.astype(np.int64),
+                "na": na_[rep],
+                "nb": nb_[rep],
+            }
         )
         agg["_b2"] = (
             (
