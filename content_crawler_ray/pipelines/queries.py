@@ -4298,6 +4298,77 @@ QUERIES["q_source_leakage"] = (q_source_leakage, SQL_SOURCE_LEAKAGE)
 
 
 # --------------------------------------------------------------------------
+# Per-stratum bottom-k sample — exactly k docs PER SOURCE by the same
+# mergeable FNV-priority order as q_sample_bottomk (the per-domain/
+# per-language "inspect k random docs from every slice" primitive; exact-k
+# per group where q_sample_stratified gives rate-based expected counts).
+# Scale shape: per-batch per-group bottom-k prune, then one tiny bucketed
+# per-group selection — k × n_groups rows ever cross the wire.
+# --------------------------------------------------------------------------
+
+_GROUP_BOTTOMK = 20
+
+
+def q_sample_group_bottomk(sf_dir: str):
+    """(source, doc_id, pri) — the exactly-20-per-source uniform sample."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    n_buckets = n_buckets_for()
+
+    def local(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        df["pri"] = hash64_array(
+            pa.array(df["doc_id"].to_numpy().astype("U"), pa.string())
+        ).view(np.int64)
+        df = df.sort_values(["source", "pri", "doc_id"], kind="mergesort").groupby(
+            "source", as_index=False, sort=False
+        ).head(_GROUP_BOTTOMK)
+        h = hash64_array(pa.array(df["source"], pa.string()))
+        df["_b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        out = g.sort_values(["source", "pri", "doc_id"], kind="mergesort").groupby(
+            "source", as_index=False, sort=False
+        ).head(_GROUP_BOTTOMK)
+        return pa.table(
+            {
+                "source": pa.array(out["source"].to_numpy(), pa.string()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "pri": pa.array(out["pri"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+SQL_SAMPLE_GROUP_BOTTOMK = f"""
+WITH pri AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                   ELSE h END AS BIGINT) AS pri
+  FROM (SELECT source, doc_id,
+               {_sql_fnv("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+)
+SELECT source, doc_id, pri FROM (
+  SELECT source, doc_id, pri,
+         row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM pri
+) WHERE rn <= {_GROUP_BOTTOMK}
+"""
+
+QUERIES["q_sample_group_bottomk"] = (q_sample_group_bottomk, SQL_SAMPLE_GROUP_BOTTOMK)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine
