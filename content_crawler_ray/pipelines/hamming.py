@@ -81,28 +81,40 @@ def hamming_lsh_pairs(
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs per (band_idx, band_val) group; both hashes ride
-        along so verify never needs a lookup table."""
-        out_a, out_b, out_ha, out_hb = [], [], [], []
-        n_skipped = rows_skipped = 0
-        for _, grp in g.groupby(["band_idx", "band_val"], sort=False):
-            ids = grp["id"].to_numpy()
-            hs = grp["h"].to_numpy()
-            if len(ids) > MAX_BUCKET:
-                n_skipped += 1
-                rows_skipped += len(ids)
-                continue
-            if len(ids) < 2:
-                continue
-            order = np.argsort(ids)
-            ids, hs = ids[order], hs[order]
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
-            out_ha.append(hs[a])
-            out_hb.append(hs[b])
+        along so verify never needs a lookup table. Vectorized like the
+        ngram pair kernel (queries.py::pairs_bucket): exact two-step
+        factorize of the group key, one lexsort, one triu_indices template
+        per DISTINCT eligible group size — no Python loop over groups."""
+        ids_raw = g["id"].to_numpy()
+        hs_raw = g["h"].to_numpy()
+        bi = pd.factorize(g["band_idx"].to_numpy(), sort=False)[0]
+        bv, bvu = pd.factorize(g["band_val"].to_numpy(), sort=False)
+        key = bi.astype(np.int64) * len(bvu) + bv
+        order = np.lexsort((ids_raw, key))  # by group, ids ascending within
+        kk = key[order]
+        ids = ids_raw[order]
+        hs = hs_raw[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]]) if len(kk) else np.array([], np.int64)
+        d = np.diff(np.r_[starts, len(kk)]) if len(kk) else np.array([], np.int64)
+        hot = d > MAX_BUCKET
+        n_skipped = int(hot.sum())
+        rows_skipped = int(d[hot].sum())
         slot = int(g["_b"].iloc[0]) if len(g) else 0
         report_skips(skip_counter, n_skipped, rows_skipped, "hamming_lsh", slot=slot)
-        if not out_a:
+        elig = (d >= 2) & ~hot
+        total = int((d[elig] * (d[elig] - 1) // 2).sum())
+        idx_i = np.empty(total, np.int64)
+        idx_j = np.empty(total, np.int64)
+        pos = 0
+        for dv in np.unique(d[elig]) if total else []:
+            base = starts[elig & (d == dv)]
+            iu, ju = np.triu_indices(int(dv), k=1)
+            ii = (base[:, None] + iu[None, :]).ravel()
+            jj = (base[:, None] + ju[None, :]).ravel()
+            idx_i[pos : pos + len(ii)] = ii
+            idx_j[pos : pos + len(jj)] = jj
+            pos += len(ii)
+        if total == 0:
             return pd.DataFrame(
                 {
                     "id_a": pd.Series([], dtype=g["id"].dtype),
@@ -113,10 +125,10 @@ def hamming_lsh_pairs(
             )
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "ph_a": np.concatenate(out_ha),
-                "ph_b": np.concatenate(out_hb),
+                "id_a": ids[idx_i],
+                "id_b": ids[idx_j],
+                "ph_a": hs[idx_i],
+                "ph_b": hs[idx_j],
             }
         )
 
