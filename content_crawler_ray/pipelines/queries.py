@@ -4424,6 +4424,75 @@ QUERIES["q_embed_gram"] = (q_embed_gram, SQL_EMBED_GRAM)
 
 
 # --------------------------------------------------------------------------
+# Zipf-law fit — the vocabulary power-law diagnostic (a natural corpus has
+# ln(count) ≈ a − s·ln(rank); synthetic or spammy corpora deviate). Emits
+# the SUFFICIENT STATISTICS of the least-squares fit (n, Σx, Σy, Σxy, Σxx
+# over x = floor(1e3·ln(rank)), y = floor(1e3·ln(count))) as one row of
+# int64s — integer-exact cross-engine, and no int64 overflow the final
+# n·Σxy−Σx·Σy slope arithmetic would risk at big-vocab scale (consumers
+# form the slope from the statistics). Term counts come from the standard
+# partial+bucketed combine; the RANKING happens on the combined count
+# table, which is vocabulary-sized ≪ corpus (the q_unigram_logprob
+# precedent — at true cluster scale swap in the range-partitioned rank of
+# pipelines/scan.py).
+# --------------------------------------------------------------------------
+
+def q_zipf_fit(sf_dir: str):
+    """(n_terms, sum_x, sum_y, sum_xy, sum_xx) — Zipf fit statistics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def term_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tok, n = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"term": pa.array(tok, pa.string()), "c": pa.array(n, pa.int64())}
+        )
+
+    counts = combine_partials(
+        ds.map_batches(term_partial, batch_format="pyarrow"), ["term"], {"c": "sum"}
+    ).to_pandas()
+    counts = counts.sort_values(["c", "term"], ascending=[False, True], kind="mergesort")
+    c = counts["c"].to_numpy().astype(np.float64)
+    rank = np.arange(1, len(c) + 1, dtype=np.float64)
+    x = np.floor(1e3 * np.log(rank)).astype(np.int64)
+    y = np.floor(1e3 * np.log(c)).astype(np.int64)
+    return pa.table(
+        {
+            "n_terms": pa.array([len(c)], pa.int64()),
+            "sum_x": pa.array([int(x.sum())], pa.int64()),
+            "sum_y": pa.array([int(y.sum())], pa.int64()),
+            "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+            "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+        }
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+xy AS (
+  SELECT CAST(floor(1e3 * ln(row_number() OVER (ORDER BY c DESC, term))) AS BIGINT) AS x,
+         CAST(floor(1e3 * ln(c)) AS BIGINT) AS y
+  FROM cnt
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx
+FROM xy
+"""
+
+QUERIES["q_zipf_fit"] = (q_zipf_fit, SQL_ZIPF_FIT)
+
+
+# --------------------------------------------------------------------------
 # Image dedup survivor selection — the image-axis product decision: for each
 # exact phash near-dup cluster keep the highest-resolution member (pixels
 # desc, image_id asc). Cluster labels come from the distributed CC engine
