@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "q_running_total",
     "q_tfidf_topterms",
     "q_image_stats",
+    # round-5 additions: the cluster family (star-CC + vectorized ngram
+    # kernel) and two new curation ops
+    "q_dedup_clusters",
+    "q_dsir_weights",
+    "q_gram_novelty",
 ]
 
 
